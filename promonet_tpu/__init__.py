@@ -1,0 +1,56 @@
+"""promonet_tpu — a TPU-native speech-editing framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of the
+reference system (ProMoNet, "Fine-Grained and Interpretable Neural Speech
+Editing", Interspeech 2024): interpretable frame-rate speech features
+(multi-band A-weighted loudness, Viterbi-decoded pitch, periodicity,
+phonetic posteriorgrams), direct feature editing (pitch shift, time
+stretch, loudness scale, spectral balance, voice conversion), and GAN
+vocoder resynthesis conditioned on the edited features.
+
+Compute path is pure JAX (jit/pjit/Pallas); training data-parallelizes
+over a `jax.sharding.Mesh`. Configuration follows the reference's
+"python module overriding constants" pattern (promonet/__init__.py:7-15).
+"""
+
+###############################################################################
+# Configuration
+###############################################################################
+
+
+# Default configuration parameters to be modified
+from .config import defaults
+
+# Modify configuration from --config files / PROMONET_TPU_CONFIG
+from .config.core import configure
+configure('promonet_tpu', defaults)
+
+# Import configuration parameters
+from .config.defaults import *
+from .config.static import *
+
+
+###############################################################################
+# Module imports
+###############################################################################
+
+
+from .train import loss, train
+from . import adapt
+from . import baseline
+from . import convert
+from . import data
+from . import edit
+from . import evaluate
+from . import load
+from . import models
+from . import ops
+from . import parallel
+from . import partition
+from . import plot
+from . import preprocess
+from . import synthesize
+from . import utils
+
+# Reference-compatible alias (the reference exposes `promonet.model`)
+model = models

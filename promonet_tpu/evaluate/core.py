@@ -1,0 +1,167 @@
+"""Offline objective evaluation and benchmarking.
+
+Reference: promonet/evaluate/core.py. Per speaker and per edit condition
+(reconstruction plus pitch-shift / time-stretch / loudness-scale at the
+configured ratios), synthesized audio is re-preprocessed with the same
+feature extractors and scored with the Metrics bundle; generation speed is
+reported as a real-time factor (evaluate/core.py:125-129).
+"""
+import json
+from pathlib import Path
+
+import numpy as np
+
+import promonet_tpu
+from ..utils import timer
+from .metrics import Metrics
+
+
+def datasets(datasets=None, checkpoint=None, gpu=None, max_stems=None):
+    """Evaluate datasets (reference: promonet/evaluate/core.py:42-140)"""
+    if datasets is None:
+        datasets = [promonet_tpu.TRAINING_DATASET]
+
+    timer.reset()
+    aggregate = {}
+    for name in datasets:
+        results = {'num_samples': 0, 'num_frames': 0, 'speakers': {}}
+        dataset_metrics = _condition_metrics()
+
+        test_partition = promonet_tpu.load.partition(name)['test']
+        stems_by_speaker = {}
+        for stem in test_partition:
+            stems_by_speaker.setdefault(stem.split('/')[0], []).append(stem)
+
+        for speaker_id, stems in stems_by_speaker.items():
+            if max_stems is not None:
+                stems = stems[:max_stems]
+            speaker_results = speaker(
+                name, speaker_id, stems, checkpoint, dataset_metrics)
+            results['speakers'][speaker_id] = speaker_results
+            results['num_samples'] += speaker_results['num_samples']
+            results['num_frames'] += speaker_results['num_frames']
+
+        results['objective'] = {
+            condition: metrics()
+            for condition, metrics in dataset_metrics.items()}
+
+        # Benchmark: real-time factors per phase
+        # (promonet/evaluate/core.py:111-134)
+        seconds = results['num_samples'] / promonet_tpu.SAMPLE_RATE
+        results['benchmark'] = {
+            phase: {
+                'seconds': wall,
+                'rtf': seconds / wall if wall > 0 else float('inf')}
+            for phase, wall in timer.results().items()}
+
+        directory = (
+            promonet_tpu.RESULTS_DIR / promonet_tpu.CONFIG / name)
+        directory.mkdir(parents=True, exist_ok=True)
+        with open(directory / 'results.json', 'w') as file:
+            json.dump(results, file, indent=4, default=float)
+        aggregate[name] = results
+    return aggregate
+
+
+def speaker(dataset, speaker_id, stems, checkpoint, dataset_metrics):
+    """Evaluate one speaker's test utterances across edit conditions"""
+    cache = promonet_tpu.CACHE_DIR / dataset
+    viterbi = '-viterbi' if promonet_tpu.VITERBI_DECODE_PITCH else ''
+    speaker_metrics = _condition_metrics()
+    num_samples = num_frames = 0
+
+    data = promonet_tpu.data.Dataset(dataset, 'test')
+    speaker_index = data.speaker_index.get(speaker_id, 0)
+
+    for stem in stems:
+        loudness, pitch, periodicity, ppg = _load_features(cache, stem)
+        num_frames += pitch.shape[-1]
+        num_samples += pitch.shape[-1] * promonet_tpu.HOPSIZE
+
+        conditions = {'reconstructed': (None, None, None)}
+        for ratio in promonet_tpu.EVALUATION_RATIOS:
+            cents = promonet_tpu.convert.ratio_to_cents(ratio)
+            conditions[f'shifted-{int(round(100 * ratio)):03d}'] = (
+                cents, None, None)
+            conditions[f'stretched-{int(round(100 * ratio)):03d}'] = (
+                None, ratio, None)
+            conditions[f'scaled-{int(round(100 * ratio)):03d}'] = (
+                None, None, promonet_tpu.convert.ratio_to_db(ratio))
+
+        for condition, (shift, stretch, scale) in conditions.items():
+            # Edit features (timed, promonet/evaluate/core.py:311)
+            with timer.context('edit'):
+                (
+                    edit_loudness,
+                    edit_pitch,
+                    edit_periodicity,
+                    edit_ppg
+                ) = promonet_tpu.edit.from_features(
+                    loudness,
+                    pitch,
+                    periodicity,
+                    ppg,
+                    pitch_shift_cents=shift,
+                    time_stretch_ratio=stretch,
+                    loudness_scale_db=scale)
+
+            # Synthesize (timed inside generate)
+            generated = promonet_tpu.synthesize.from_features(
+                edit_loudness,
+                edit_pitch,
+                edit_periodicity,
+                edit_ppg,
+                speaker=speaker_index,
+                checkpoint=checkpoint)
+
+            # Re-extract features from the generated audio
+            # (promonet/evaluate/core.py:578-596)
+            with timer.context('preprocess'):
+                (
+                    pred_loudness,
+                    pred_pitch,
+                    pred_periodicity,
+                    pred_ppg
+                ) = promonet_tpu.preprocess.from_audio(
+                    np.asarray(generated),
+                    features=('loudness', 'pitch', 'periodicity', 'ppg'),
+                    loudness_bands=None)
+
+            update = dict(
+                loudness=np.asarray(edit_loudness).mean(axis=-2),
+                predicted_loudness=np.asarray(pred_loudness).mean(axis=-2),
+                pitch=edit_pitch,
+                periodicity=edit_periodicity,
+                predicted_pitch=pred_pitch,
+                predicted_periodicity=pred_periodicity,
+                ppg=edit_ppg,
+                predicted_ppg=pred_ppg)
+            speaker_metrics[condition].update(**update)
+            dataset_metrics[condition].update(**update)
+
+    return {
+        'num_samples': num_samples,
+        'num_frames': num_frames,
+        'objective': {
+            condition: metrics()
+            for condition, metrics in speaker_metrics.items()},
+    }
+
+
+def _condition_metrics():
+    conditions = ['reconstructed']
+    for ratio in promonet_tpu.EVALUATION_RATIOS:
+        key = f'{int(round(100 * ratio)):03d}'
+        conditions += [f'shifted-{key}', f'stretched-{key}', f'scaled-{key}']
+    return {condition: Metrics(include_wer=False) for condition in conditions}
+
+
+def _load_features(cache, stem):
+    viterbi = '-viterbi' if promonet_tpu.VITERBI_DECODE_PITCH else ''
+    load = promonet_tpu.load
+    pitch = load.array(cache / f'{stem}{viterbi}-pitch.npy')
+    return (
+        load.array(cache / f'{stem}-loudness.npy'),
+        pitch,
+        load.array(cache / f'{stem}{viterbi}-periodicity.npy'),
+        load.ppg(cache / f'{stem}-ppg.npy', pitch.shape[-1]))

@@ -1,0 +1,66 @@
+"""Device-mesh parallelism.
+
+No reference counterpart (the reference is single-GPU; SURVEY.md §2.9).
+Training shards the global batch over the 'data' axis of a
+`jax.sharding.Mesh`; parameters and optimizer state are replicated.
+Gradient all-reduce is inserted by XLA's sharding propagation (GSPMD)
+under `jax.jit` and rides ICI within a slice. The design scales to
+multi-axis meshes (e.g. ('data', 'model')) without touching the train
+step: sharding is expressed entirely through in/out shardings.
+"""
+import numpy as np
+
+import jax
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import promonet_tpu
+
+
+def create_mesh(shape=None, axis_names=None, devices=None):
+    """Create a device mesh
+
+    Arguments
+        shape: dict axis name -> size, e.g. {'data': 8}. Defaults to the
+            configured MESH_SHAPE, else all devices on the 'data' axis.
+        axis_names: ordering of axes; defaults to dict order
+        devices: devices to use; defaults to jax.devices()
+    """
+    if devices is None:
+        devices = jax.devices()
+    if shape is None:
+        shape = promonet_tpu.MESH_SHAPE
+    if shape is None:
+        shape = {'data': len(devices)}
+    if axis_names is None:
+        axis_names = tuple(shape.keys())
+    sizes = tuple(shape[name] for name in axis_names)
+    count = int(np.prod(sizes))
+    mesh_devices = mesh_utils.create_device_mesh(
+        sizes, devices=devices[:count])
+    return Mesh(mesh_devices, axis_names)
+
+
+def batch_sharding(mesh, axis='data'):
+    """Sharding that splits the leading (batch) axis over the data axis"""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh):
+    """Fully-replicated sharding (parameters, optimizer state)"""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh, axis='data'):
+    """Place a host batch (pytree of numpy arrays) onto the mesh,
+    sharded along the leading axis"""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_pytree(pytree, mesh):
+    """Replicate a pytree (params / optimizer state) across the mesh"""
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding), pytree)

@@ -1,0 +1,8 @@
+from .core import from_audio, from_file, from_file_to_file, from_files_to_files
+from . import harmonics
+from . import loudness
+from . import pitch
+from . import ppg
+from . import speaker
+from . import spectrogram
+from . import text

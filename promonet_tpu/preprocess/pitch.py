@@ -1,0 +1,176 @@
+"""Pitch and periodicity estimation.
+
+TPU-native replacement for the reference's external `penn` + `torbi`
+dependency (promonet/preprocess/core.py:64-86): frame-rate pitch in Hz and
+periodicity in [0, 1], with optional Viterbi decoding.
+
+The estimator is a normalized cross-correlation (NCCF) front-end — fully
+jittable, FFT-based, batched over frames — producing a posteriorgram over
+log-spaced candidate frequencies in [FMIN, FMAX], decoded either by argmax
+or by the Pallas/scan Viterbi (ops/viterbi.py) with a triangular local
+transition, mirroring penn's `decoder='viterbi'` with `center='half-hop'`
+frame placement. Periodicity is the correlation value at the decoded lag.
+
+A learned FCNF0++-style CNN can be swapped in for weight parity with penn
+in a later stage; the interface (`from_audio` returning (pitch,
+periodicity)) is identical.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import promonet_tpu
+from ..ops import viterbi as viterbi_ops
+
+# Analysis configuration
+WINDOW = 512           # correlation window (samples)
+CANDIDATES = 256       # number of log-spaced frequency candidates
+TRANSITION_WIDTH = 9.  # triangular transition half-width (bins)
+SOFTMAX_SCALE = 40.    # observation sharpening before decoding
+
+
+def candidate_frequencies(fmin=None, fmax=None, num=CANDIDATES):
+    """Log-spaced candidate frequencies in Hz"""
+    fmin = promonet_tpu.FMIN if fmin is None else fmin
+    fmax = promonet_tpu.FMAX if fmax is None else fmax
+    return np.exp(
+        np.linspace(np.log(fmin), np.log(fmax), num)).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=('hopsize', 'sample_rate'))
+def posteriorgram(audio, sample_rate, hopsize):
+    """Per-frame NCC over candidate frequencies
+
+    Arguments
+        audio: (1, T)
+    Returns
+        ncc: (frames, CANDIDATES) normalized cross-correlation in [-1, 1]
+    """
+    freqs = candidate_frequencies()
+    max_lag = int(np.ceil(sample_rate / freqs[0])) + 1
+    context = WINDOW + max_lag
+
+    samples = audio[0]
+    num_frames = samples.shape[-1] // hopsize
+
+    # Frame centers at (i + 0.5) * hop (penn center='half-hop')
+    centers = (np.arange(num_frames) + 0.5) * hopsize
+    starts = np.round(centers - context / 2).astype(np.int64)
+    pad_left = max(0, -starts.min())
+    pad_right = max(0, int(starts.max()) + context - samples.shape[-1])
+    padded = jnp.pad(samples, (pad_left, pad_right))
+    idx = (starts + pad_left)[:, None] + np.arange(context)[None, :]
+    frames = padded[idx]  # (frames, context)
+
+    # Remove DC per frame
+    frames = frames - frames.mean(axis=-1, keepdims=True)
+
+    # Cross-correlation r[tau] = sum_{n<W} x[n] x[n+tau] via FFT
+    n_fft = int(2 ** np.ceil(np.log2(context + WINDOW)))
+    head = frames[:, :WINDOW]
+    spec_head = jnp.fft.rfft(head, n=n_fft)
+    spec_full = jnp.fft.rfft(frames, n=n_fft)
+    corr = jnp.fft.irfft(jnp.conj(spec_head) * spec_full, n=n_fft)
+    corr = corr[:, :max_lag + 1]  # r[0..max_lag]
+
+    # Energy of the shifted window: e[tau] = sum_{n<W} x[n+tau]^2
+    energy_kernel = jnp.ones((WINDOW,))
+    sq = frames * frames
+    cumsum = jnp.cumsum(
+        jnp.pad(sq, ((0, 0), (1, 0))), axis=-1)
+    # e[tau] = cumsum[tau + W] - cumsum[tau]
+    tau = np.arange(max_lag + 1)
+    energy = cumsum[:, tau + WINDOW] - cumsum[:, tau]
+    e0 = energy[:, 0:1]
+
+    ncc = corr / jnp.sqrt(e0 * energy + 1e-9)
+
+    # Sample NCC at fractional candidate lags (log-spaced frequencies)
+    lags = sample_rate / freqs  # descending, in (lag_min, max_lag]
+    lag_left = np.floor(lags).astype(np.int32)
+    lag_frac = jnp.asarray(lags - lag_left, dtype=ncc.dtype)
+    ncc_left = ncc[:, lag_left]
+    ncc_right = ncc[:, np.minimum(lag_left + 1, max_lag)]
+    return ncc_left * (1 - lag_frac) + ncc_right * lag_frac
+
+
+@functools.partial(jax.jit, static_argnames=('decoder',))
+def _decode(ncc, decoder):
+    freqs = jnp.asarray(candidate_frequencies())
+    if decoder == 'viterbi':
+        observation = jax.nn.log_softmax(SOFTMAX_SCALE * ncc, axis=-1)
+        transition = viterbi_ops.triangular_transition(
+            ncc.shape[-1], TRANSITION_WIDTH)
+        initial = jnp.full((ncc.shape[-1],), -jnp.log(ncc.shape[-1]))
+        bins = viterbi_ops.decode(
+            observation,
+            transition,
+            initial,
+            use_pallas=jax.default_backend() == 'tpu')
+    else:
+        bins = jnp.argmax(ncc, axis=-1)
+    pitch = freqs[bins]
+    periodicity = jnp.clip(
+        jnp.take_along_axis(ncc, bins[:, None], axis=-1)[:, 0], 0., 1.)
+    return pitch, periodicity
+
+
+def from_audio(
+    audio,
+    sample_rate=None,
+    hopsize=None,
+    fmin=None,
+    fmax=None,
+    decoder=None,
+    interp_unvoiced_at=None
+):
+    """Estimate pitch and periodicity
+
+    Mirrors the reference's penn call signature semantics
+    (promonet/preprocess/core.py:71-86).
+
+    Arguments
+        audio: (1, T)
+    Returns
+        pitch: (1, frames) in Hz
+        periodicity: (1, frames) in [0, 1]
+    """
+    sample_rate = promonet_tpu.SAMPLE_RATE if sample_rate is None else sample_rate
+    hopsize = promonet_tpu.HOPSIZE if hopsize is None else hopsize
+    if decoder is None:
+        decoder = (
+            'viterbi' if promonet_tpu.VITERBI_DECODE_PITCH else 'argmax')
+
+    ncc = posteriorgram(jnp.asarray(audio), sample_rate, hopsize)
+    pitch, periodicity = _decode(ncc, decoder)
+    pitch = np.asarray(pitch)
+    periodicity = np.asarray(periodicity)
+
+    # Interpolate pitch through unvoiced regions (penn interp_unvoiced_at)
+    if interp_unvoiced_at is None:
+        interp_unvoiced_at = promonet_tpu.VOICING_THRESHOLD
+    if interp_unvoiced_at is not None:
+        voiced = periodicity > interp_unvoiced_at
+        if voiced.any() and not voiced.all():
+            t = np.arange(len(pitch))
+            pitch = np.exp(
+                np.interp(t, t[voiced], np.log(pitch[voiced])))
+
+    return pitch[None].astype(np.float32), periodicity[None].astype(np.float32)
+
+
+def from_file(audio_file, **kwargs):
+    """Estimate pitch and periodicity from an audio file"""
+    return from_audio(promonet_tpu.load.audio(audio_file), **kwargs)
+
+
+def from_file_to_file(audio_file, output_prefix, **kwargs):
+    """Estimate pitch/periodicity from a file and save with the reference's
+    viterbi naming convention (promonet/edit/core.py:223-226)"""
+    pitch, periodicity = from_file(audio_file, **kwargs)
+    viterbi = '-viterbi' if promonet_tpu.VITERBI_DECODE_PITCH else ''
+    promonet_tpu.load.save_array(f'{output_prefix}{viterbi}-pitch.npy', pitch)
+    promonet_tpu.load.save_array(
+        f'{output_prefix}{viterbi}-periodicity.npy', periodicity)

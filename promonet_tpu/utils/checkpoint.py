@@ -1,0 +1,63 @@
+"""Checkpointing with the reference's directory/glob/auto-resume semantics.
+
+Replaces torchutil.checkpoint (promonet/train/core.py:70-100,426-438):
+checkpoints are directories named `<prefix>-<step:08d>` containing an orbax
+pytree of (params, opt_state, step, epoch); `latest_path` glob-resolves the
+most recent one for auto-resume.
+"""
+import re
+from pathlib import Path
+
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save(path, params, opt_state=None, step=0, epoch=0, **extra):
+    """Save a checkpoint to `path` (a directory)"""
+    path = Path(path).absolute()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        'params': params,
+        'step': np.asarray(step),
+        'epoch': np.asarray(epoch),
+    }
+    if opt_state is not None:
+        payload['opt_state'] = opt_state
+    payload.update(extra)
+    checkpointer = ocp.StandardCheckpointer()
+    checkpointer.save(path, payload, force=True)
+    checkpointer.wait_until_finished()
+
+
+def load(path, template=None):
+    """Load a checkpoint; returns the saved pytree
+
+    If `template` (a matching pytree of arrays) is given, restoration
+    preserves its structure/dtypes; otherwise orbax restores as saved.
+    """
+    path = Path(path).absolute()
+    checkpointer = ocp.StandardCheckpointer()
+    if template is not None:
+        return checkpointer.restore(path, template)
+    return checkpointer.restore(path)
+
+
+def latest_path(directory, prefix='generator-*'):
+    """Resolve the checkpoint with the largest step for auto-resume
+
+    Reference: torchutil.checkpoint.latest_path usage at
+    promonet/train/core.py:70-75.
+    """
+    directory = Path(directory)
+    if not directory.exists():
+        return None
+    pattern = re.compile(
+        '^' + prefix.replace('*', r'(\d+)') + '$')
+    best, best_step = None, -1
+    for entry in directory.iterdir():
+        match = pattern.match(entry.name)
+        if match:
+            step = int(match.group(1))
+            if step > best_step:
+                best, best_step = entry, step
+    return best

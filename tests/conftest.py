@@ -1,0 +1,41 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware via
+XLA's host-platform device-count flag (SURVEY.md §4).
+"""
+import os
+
+# Must be set before jax initializes
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['JAX_PLATFORM_NAME'] = 'cpu'
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax
+jax.config.update('jax_platforms', 'cpu')
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope='session')
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope='session')
+def audio(rng):
+    """A second of speech-like harmonic audio at the native rate"""
+    import promonet_tpu
+    sr = promonet_tpu.SAMPLE_RATE
+    t = np.arange(sr) / sr
+    pitch = 150. + 50. * np.sin(2 * np.pi * 2. * t)
+    phase = 2 * np.pi * np.cumsum(pitch) / sr
+    signal = sum(
+        (0.5 ** k) * np.sin(k * phase) for k in range(1, 5))
+    signal *= 0.4 + 0.3 * np.sin(2 * np.pi * 3. * t)
+    signal += 0.01 * rng.standard_normal(sr)
+    signal = 0.5 * signal / np.abs(signal).max()
+    return signal.astype(np.float32)[None]

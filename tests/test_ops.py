@@ -1,0 +1,211 @@
+"""DSP op golden tests against scipy/torch references (SURVEY.md §4)"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import promonet_tpu
+from promonet_tpu import ops
+
+
+def test_hann_window_matches_torch():
+    import torch
+    ours = np.asarray(ops.hann_window(1024))
+    theirs = torch.hann_window(1024).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_stft_matches_torch(audio):
+    import torch
+    n_fft, hop = 1024, 256
+    window = ops.hann_window(n_fft)
+    ours = np.asarray(
+        ops.stft.stft(jnp.asarray(audio[0]), n_fft, hop,
+                      window=window, magnitude=True))
+    theirs = torch.stft(
+        torch.from_numpy(audio[0]),
+        n_fft,
+        hop_length=hop,
+        window=torch.hann_window(n_fft),
+        center=False,
+        return_complex=True).abs().numpy()
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+
+
+def test_spectrogram_shape_and_parity(audio):
+    import torch
+    spec = np.asarray(promonet_tpu.preprocess.spectrogram.from_audio(audio))
+    frames = audio.shape[-1] // promonet_tpu.HOPSIZE
+    assert spec.shape == (513, frames)
+
+    # Parity with the reference formulation (torch.stft + sqrt(+1e-6))
+    padded = torch.nn.functional.pad(
+        torch.from_numpy(audio), (384, 384), mode='reflect')
+    st = torch.stft(
+        padded.squeeze(0) if padded.ndim == 2 else padded,
+        1024,
+        hop_length=256,
+        window=torch.hann_window(1024),
+        center=False,
+        return_complex=True)
+    reference = torch.sqrt(
+        torch.view_as_real(st).pow(2).sum(-1) + 1e-6).numpy()
+    if reference.ndim == 3:
+        reference = reference[0]
+    np.testing.assert_allclose(spec, reference, atol=5e-3, rtol=1e-2)
+
+
+def test_mel_filterbank_invariants():
+    basis = np.asarray(ops.mel_filterbank(22050, 1024, 80))
+    assert basis.shape == (80, 513)
+    # Every filter is nonnegative with nonzero support
+    assert (basis >= 0).all()
+    assert (basis.sum(axis=1) > 0).all()
+    # Peak positions are monotonically increasing
+    peaks = basis.argmax(axis=1)
+    assert (np.diff(peaks) >= 0).all()
+
+
+def test_istft_inverts_stft(audio):
+    """ISTFT(STFT(x)) == x in the interior (Vocos head contract)"""
+    n_fft, hop = 1024, 256
+    window = ops.hann_window(n_fft)
+    x = jnp.asarray(audio[0])
+    pad = (n_fft - hop) // 2
+    padded = ops.stft.reflect_pad(x, pad)
+    spec = ops.stft.stft(padded, n_fft, hop, window=window)
+    recon = np.asarray(ops.istft(spec, n_fft, hop, window))
+    target = np.asarray(x)[:recon.shape[-1]]
+    # Interior samples (edges lack full overlap)
+    np.testing.assert_allclose(
+        recon[hop:-hop], target[hop:-hop], atol=1e-3)
+
+
+def test_loudness_shapes_and_range(audio):
+    full = promonet_tpu.preprocess.loudness.from_audio(audio, None)
+    assert full.shape[0] == 513
+    banded = promonet_tpu.preprocess.loudness.from_audio(audio, 8)
+    assert banded.shape[0] == 8
+    assert float(banded.min()) >= promonet_tpu.MIN_DB
+    # Band average of full-band equals direct banded computation
+    averaged = promonet_tpu.preprocess.loudness.band_average(full, 8)
+    np.testing.assert_allclose(
+        np.asarray(averaged), np.asarray(banded), atol=1e-4)
+
+
+def test_limiter_bounds():
+    rng = np.random.default_rng(0)
+    loud = (3. * rng.standard_normal((1, 2000))).astype(np.float32)
+    limited = np.asarray(promonet_tpu.preprocess.loudness.limit(loud))
+    assert limited.shape == loud.shape
+    assert np.abs(limited).max() <= 1.5  # envelope-limited, not hard-clipped
+    # Quiet audio passes unchanged (gain stays 1, delay-compensated)
+    quiet = (0.1 * rng.standard_normal((1, 2000))).astype(np.float32)
+    limited_quiet = np.asarray(promonet_tpu.preprocess.loudness.limit(quiet))
+    np.testing.assert_allclose(limited_quiet, quiet, atol=1e-5)
+
+
+def test_grid_sample_matches_reference_semantics():
+    """Linear grid sampling == the reference searchsorted+lerp
+    (promonet/edit/grid.py:12-38)"""
+    import torch
+    sequence = np.random.default_rng(0).standard_normal((3, 17)).astype(
+        np.float32)
+    grid = np.linspace(0, 16, 9).astype(np.float32)
+
+    ours = np.asarray(ops.grid.sample(jnp.asarray(sequence), grid))
+
+    fp = torch.from_numpy(sequence)
+    x = torch.from_numpy(grid)
+    xp = torch.arange(fp.shape[-1])
+    i = torch.searchsorted(xp, x, side='right')
+    fp_pad = torch.nn.functional.pad(fp, (0, 1), mode='replicate')
+    xp_pad = torch.cat((xp, xp[-1:] + 1))
+    theirs = (
+        fp_pad[..., i - 1] * (xp_pad[i] - x) +
+        fp_pad[..., i] * (x - xp_pad[i - 1])).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_grid_constructors():
+    x = jnp.zeros((4, 100))
+    grid = ops.grid.constant(x, 2.)
+    assert grid.shape == (50,)
+    assert float(grid[0]) == 0.
+    assert np.isclose(float(grid[-1]), 99.)
+    grid = ops.grid.of_length(x, 33)
+    assert grid.shape == (33,)
+
+
+def test_sparsify_methods():
+    rng = np.random.default_rng(0)
+    ppg = jax.nn.softmax(jnp.asarray(rng.standard_normal((40, 12))), axis=0)
+    for method, threshold in (
+        ('percentile', 0.85), ('constant', 0.02), ('topk', 4)
+    ):
+        sparse = ops.sparsify(ppg, method, threshold)
+        sums = np.asarray(sparse.sum(axis=0))
+        np.testing.assert_allclose(sums, 1., atol=1e-4)
+        # Sparser than the input
+        assert (np.asarray(sparse) == 0).sum() > 0
+
+
+def test_jensen_shannon_properties():
+    p = jax.nn.softmax(jnp.asarray(
+        np.random.default_rng(0).standard_normal((40, 6))), axis=0)
+    # Identity -> 0
+    np.testing.assert_allclose(
+        np.asarray(ops.jensen_shannon(p, p)), 0., atol=1e-3)
+    # Disjoint -> 1
+    a = jnp.zeros((4, 1)).at[0, 0].set(1.)
+    b = jnp.zeros((4, 1)).at[1, 0].set(1.)
+    np.testing.assert_allclose(
+        np.asarray(ops.jensen_shannon(a, b)), 1., atol=1e-3)
+
+
+def test_viterbi_matches_brute_force():
+    """Scan Viterbi equals exhaustive search on a small problem"""
+    rng = np.random.default_rng(0)
+    T, N = 6, 4
+    obs = np.log(
+        jax.nn.softmax(jnp.asarray(rng.standard_normal((T, N))), axis=-1))
+    trans = np.asarray(
+        promonet_tpu.ops.viterbi.triangular_transition(N, 2.))
+    init = np.full(N, -np.log(N))
+
+    path = np.asarray(promonet_tpu.ops.viterbi.decode(
+        jnp.asarray(obs), jnp.asarray(trans), jnp.asarray(init),
+        use_pallas=False))
+
+    # Brute force
+    import itertools
+    best, best_score = None, -np.inf
+    for candidate in itertools.product(range(N), repeat=T):
+        score = init[candidate[0]] + obs[0][candidate[0]]
+        for t in range(1, T):
+            score += trans[candidate[t - 1], candidate[t]] + \
+                obs[t][candidate[t]]
+        if score > best_score:
+            best, best_score = candidate, score
+    np.testing.assert_array_equal(path, np.asarray(best))
+
+
+def test_viterbi_interpret_kernel_matches_scan():
+    """Pallas kernel (interpret mode) == scan implementation"""
+    from jax.experimental.pallas import tpu as pltpu
+    rng = np.random.default_rng(1)
+    T, N = 12, 128
+    obs = jnp.asarray(
+        np.log(jax.nn.softmax(rng.standard_normal((T, N)), axis=-1)),
+        dtype=jnp.float32)
+    trans = promonet_tpu.ops.viterbi.triangular_transition(N, 5.)
+    init = jnp.full((N,), -np.log(N))
+
+    scan_path = promonet_tpu.ops.viterbi.decode(
+        obs, trans, init, use_pallas=False)
+    with pltpu.force_tpu_interpret_mode():
+        kernel_path = promonet_tpu.ops.viterbi.decode(
+            obs, trans, init, use_pallas=True)
+    np.testing.assert_array_equal(
+        np.asarray(scan_path), np.asarray(kernel_path))
