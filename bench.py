@@ -1,0 +1,94 @@
+"""Headline benchmark: end-to-end speech editing real-time factor.
+
+Measures the north-star workload (driver BASELINE.json): audio in →
+preprocess (loudness/pitch/periodicity/PPG) → edit (pitch-shift +
+time-stretch + loudness) → synthesize → audio out, on one TPU chip,
+reporting xRT = audio_seconds / wall_seconds after compile warmup.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+vs_baseline is the ratio against the 50x-RT-per-chip north star (the
+reference publishes no numbers; BASELINE.md).
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import numpy as np
+
+
+def make_audio(seconds, sample_rate):
+    t = np.arange(int(seconds * sample_rate)) / sample_rate
+    pitch = 180. + 60. * np.sin(2 * np.pi * 1.5 * t)
+    phase = 2 * np.pi * np.cumsum(pitch) / sample_rate
+    audio = sum((0.5 ** k) * np.sin(k * phase) for k in range(1, 5))
+    audio *= 0.4 + 0.3 * np.sin(2 * np.pi * 2.5 * t)
+    audio += 0.01 * np.random.default_rng(0).standard_normal(len(t))
+    return (0.5 * audio / np.abs(audio).max()).astype(np.float32)[None]
+
+
+def run_pipeline(promonet_tpu, audio):
+    loudness, pitch, periodicity, ppg = promonet_tpu.preprocess.from_audio(
+        audio,
+        features=('loudness', 'pitch', 'periodicity', 'ppg'),
+        loudness_bands=None)
+    edited = promonet_tpu.edit.from_features(
+        loudness,
+        pitch,
+        periodicity,
+        ppg,
+        pitch_shift_cents=200.,
+        time_stretch_ratio=1.414,
+        loudness_scale_db=3.)
+    out = promonet_tpu.synthesize.from_features(*edited, speaker=0)
+    return np.asarray(out)
+
+
+def main():
+    import jax
+    import promonet_tpu
+
+    seconds = 10.
+    audio = make_audio(seconds, promonet_tpu.SAMPLE_RATE)
+
+    # Warmup (compile everything)
+    out = run_pipeline(promonet_tpu, audio)
+    out_seconds = out.shape[-1] / promonet_tpu.SAMPLE_RATE
+
+    # Timed runs
+    runs = []
+    for _ in range(3):
+        start = time.perf_counter()
+        out = run_pipeline(promonet_tpu, audio)
+        runs.append(time.perf_counter() - start)
+    wall = min(runs)
+    rtf = seconds / wall
+
+    # Synthesis-only (hot loop) for the breakdown
+    features = promonet_tpu.preprocess.from_audio(
+        audio, features=('loudness', 'pitch', 'periodicity', 'ppg'),
+        loudness_bands=None)
+    promonet_tpu.synthesize.from_features(*features, speaker=0)
+    synth_runs = []
+    for _ in range(3):
+        start = time.perf_counter()
+        promonet_tpu.synthesize.from_features(*features, speaker=0)
+        synth_runs.append(time.perf_counter() - start)
+    synth_rtf = seconds / min(synth_runs)
+
+    print(json.dumps({
+        'metric': 'e2e_edit_rtf',
+        'value': round(rtf, 2),
+        'unit': 'x_realtime',
+        'vs_baseline': round(rtf / 50., 3),
+        'synthesis_rtf': round(synth_rtf, 2),
+        'backend': jax.default_backend(),
+        'audio_seconds': seconds,
+        'wall_seconds': round(wall, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()
