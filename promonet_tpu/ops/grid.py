@@ -56,6 +56,34 @@ def of_length(tensor, length):
     return jnp.linspace(0., source - 1, int(length), dtype=jnp.float32)
 
 
+def masked_interp(values, mask):
+    """Linearly interpolate `values` through positions where mask is False
+
+    Static-shape replacement for np.interp over the masked domain (used
+    to interpolate pitch through unvoiced regions on-device, mirroring
+    penn's `interp_unvoiced_at`). Anchors are found with forward/backward
+    cumulative extrema — no data-dependent shapes.
+    """
+    n = values.shape[-1]
+    idx = jnp.arange(n)
+
+    left = jax.lax.cummax(jnp.where(mask, idx, -1))
+    right = jax.lax.cummin(jnp.where(mask, idx, n), reverse=True)
+
+    # Fall back to the other side when one side has no anchor
+    left_c = jnp.where(left < 0, right, left)
+    right_c = jnp.where(right >= n, left_c, right)
+    left_c = jnp.where(left < 0, right_c, left_c)
+
+    left_v = values[jnp.clip(left_c, 0, n - 1)]
+    right_v = values[jnp.clip(right_c, 0, n - 1)]
+    span = right_c - left_c
+    weight = jnp.where(
+        span > 0, (idx - left_c) / jnp.maximum(span, 1), 0.)
+    interpolated = left_v * (1 - weight) + right_v * weight
+    return jnp.where(mask, values, interpolated)
+
+
 def from_alignments(source, target, sample_rate, hopsize):
     """Grid that maps the frames of a source forced alignment onto a target
 

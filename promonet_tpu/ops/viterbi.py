@@ -4,13 +4,12 @@ TPU-native replacement for `torbi` (the CUDA Viterbi extension the
 reference uses for pitch decoding at promonet/preprocess/core.py:65-71 and
 harmonic decoding at promonet/preprocess/harmonics.py:215-297).
 
-Two implementations of the max-product forward pass:
-  * a Pallas kernel that keeps the alpha vector and transition matrix
-    resident in VMEM and streams only the per-frame argmax indices out —
-    the sequential scan runs entirely on-chip;
-  * a pure-JAX `lax.scan` fallback used on CPU (tests) and as a reference.
-
-Backtrace is a cheap reverse `lax.scan` over the stored argmax indices.
+The Pallas kernel runs the ENTIRE decode on-chip in one dispatch: the
+max-product forward pass keeps the alpha vector and transition matrix
+resident in VMEM, stores per-frame argmax predecessors, then backtraces
+in-kernel with a reverse loop — no host round-trips (the remote-dispatch
+latency of a chained scan would otherwise dominate). A pure-JAX
+`lax.scan` fallback serves CPU tests and large state spaces.
 """
 import functools
 
@@ -21,6 +20,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+
+# VMEM budget check: obs (T,N) + indices (T,N) + transition (N,N) must fit
+# on-chip (~16 MB VMEM per core; leave headroom)
+MAX_PALLAS_VMEM_BYTES = 12 * 1024 * 1024
 
 
 ###############################################################################
@@ -41,10 +44,13 @@ def decode(observation, transition, initial, use_pallas=None):
     Returns
         path: (T,) int32 state indices
     """
+    num_frames, num_states = observation.shape
     if use_pallas is None:
         use_pallas = jax.default_backend() == 'tpu'
-    forward = _forward_pallas if use_pallas else _forward_scan
-    indices, final_alpha = forward(observation, transition, initial)
+    vmem = 4 * (2 * num_frames * num_states + num_states * num_states)
+    if use_pallas and num_frames > 1 and vmem <= MAX_PALLAS_VMEM_BYTES:
+        return _decode_pallas(observation, transition, initial)
+    indices, final_alpha = _forward_scan(observation, transition, initial)
     return _backtrace(indices, final_alpha)
 
 
@@ -78,7 +84,7 @@ def triangular_transition(num_states, width, dtype=jnp.float32):
 
 
 ###############################################################################
-# Forward pass: pure-JAX scan
+# Forward pass: pure-JAX scan (CPU fallback / reference)
 ###############################################################################
 
 
@@ -99,64 +105,6 @@ def _forward_scan(observation, transition, initial):
     return indices, final_alpha
 
 
-###############################################################################
-# Forward pass: Pallas kernel
-###############################################################################
-
-
-def _forward_kernel(obs_ref, trans_ref, init_ref, idx_ref, alpha_ref):
-    """Sequential Viterbi forward pass, alpha resident in VMEM
-
-    Refs
-        obs_ref: (T, N) VMEM
-        trans_ref: (N, N) VMEM
-        init_ref: (1, N) VMEM
-        idx_ref: (T, N) int32 VMEM out
-        alpha_ref: (1, N) VMEM out (final alpha)
-    """
-    num_frames = obs_ref.shape[0]
-
-    alpha_ref[:] = init_ref[:] + obs_ref[0:1, :]
-    idx_ref[0:1, :] = jnp.zeros_like(idx_ref[0:1, :])
-
-    def body(t, _):
-        # (from, to) scores; alpha broadcast down columns
-        scores = alpha_ref[:].reshape(-1, 1) + trans_ref[:]
-        best = jnp.max(scores, axis=0, keepdims=True)
-        arg = jnp.argmax(scores, axis=0).astype(jnp.int32)
-        idx_ref[pl.ds(t, 1), :] = arg.reshape(1, -1)
-        alpha_ref[:] = best + obs_ref[pl.ds(t, 1), :]
-        return 0
-
-    jax.lax.fori_loop(1, num_frames, body, 0)
-
-
-def _forward_pallas(observation, transition, initial):
-    num_frames, num_states = observation.shape
-    indices, alpha = pl.pallas_call(
-        _forward_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((num_frames, num_states), jnp.int32),
-            jax.ShapeDtypeStruct((1, num_states), observation.dtype),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
-    )(observation, transition, initial.reshape(1, -1))
-    return indices, alpha[0]
-
-
-###############################################################################
-# Backtrace
-###############################################################################
-
-
 def _backtrace(indices, final_alpha):
     """Follow stored argmax indices backward from the best final state"""
     last = jnp.argmax(final_alpha).astype(jnp.int32)
@@ -169,3 +117,70 @@ def _backtrace(indices, final_alpha):
 
     first, rest = jax.lax.scan(step, last, indices[1:], reverse=True)
     return jnp.concatenate([first[None], rest])
+
+
+###############################################################################
+# Fused Pallas kernel: forward + backtrace in one dispatch
+###############################################################################
+
+
+def _decode_kernel(obs_ref, trans_ref, init_ref, path_ref, idx_ref, alpha_ref):
+    """Full Viterbi decode on-chip
+
+    Refs
+        obs_ref: (T, N) VMEM in — per-frame log-probs
+        trans_ref: (N, N) VMEM in
+        init_ref: (1, N) VMEM in
+        path_ref: (T, 1) int32 VMEM out — decoded state path
+        idx_ref: (T, N) int32 VMEM scratch — argmax predecessors
+        alpha_ref: (1, N) VMEM scratch
+    """
+    num_frames, num_states = obs_ref.shape
+
+    # Forward pass
+    alpha_ref[:] = init_ref[:] + obs_ref[0:1, :]
+
+    def forward(t, _):
+        scores = alpha_ref[:].reshape(num_states, 1) + trans_ref[:]
+        best = jnp.max(scores, axis=0, keepdims=True)
+        arg = jnp.argmax(scores, axis=0).astype(jnp.int32)
+        idx_ref[pl.ds(t, 1), :] = arg.reshape(1, num_states)
+        alpha_ref[:] = best + obs_ref[pl.ds(t, 1), :]
+        return 0
+
+    jax.lax.fori_loop(1, num_frames, forward, 0)
+
+    # Backtrace: select predecessors with a one-hot reduction (dynamic
+    # lane-index gathers are not TPU-friendly)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, num_states), 1)
+    last = jnp.argmax(alpha_ref[:]).astype(jnp.int32)
+    path_ref[pl.ds(num_frames - 1, 1), :] = jnp.full((1, 1), last, jnp.int32)
+
+    def backward(i, state):
+        t = num_frames - 1 - i
+        row = idx_ref[pl.ds(t, 1), :]
+        prev = jnp.sum(jnp.where(lanes == state, row, 0))
+        path_ref[pl.ds(t - 1, 1), :] = jnp.full((1, 1), prev, jnp.int32)
+        return prev
+
+    jax.lax.fori_loop(0, num_frames - 1, backward, last)
+
+
+@jax.jit
+def _decode_pallas(observation, transition, initial):
+    num_frames, num_states = observation.shape
+    path = pl.pallas_call(
+        _decode_kernel,
+        out_shape=jax.ShapeDtypeStruct((num_frames, 1), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((num_frames, num_states), jnp.int32),
+            pltpu.VMEM((1, num_states), observation.dtype),
+        ],
+    )(observation, transition, initial.reshape(1, -1))
+    return path[:, 0]

@@ -52,11 +52,26 @@ def replicated_sharding(mesh):
 
 
 def shard_batch(batch, mesh, axis='data'):
-    """Place a host batch (pytree of numpy arrays) onto the mesh,
-    sharded along the leading axis"""
+    """Place a host batch onto the mesh, sharded along the leading axis
+
+    Non-array metadata (text, stems) is dropped — it cannot cross the
+    jit boundary.
+    """
     sharding = batch_sharding(mesh, axis)
-    return jax.tree.map(
-        lambda x: jax.device_put(x, sharding), batch)
+    return {
+        key: jax.device_put(np.asarray(value), sharding)
+        for key, value in batch.items()
+        if key not in ('text', 'stems')}
+
+
+def replicate_batch(batch, mesh):
+    """Place a host batch fully replicated (e.g. batch-size-1 validation
+    batches that do not divide the data axis)"""
+    sharding = replicated_sharding(mesh)
+    return {
+        key: jax.device_put(np.asarray(value), sharding)
+        for key, value in batch.items()
+        if key not in ('text', 'stems')}
 
 
 def shard_pytree(pytree, mesh):

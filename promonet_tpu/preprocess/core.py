@@ -1,15 +1,24 @@
 """Feature-extraction orchestrator.
 
-Reference: promonet/preprocess/core.py. On TPU the per-feature extractors
-are jitted JAX functions, so `from_audio` runs as a handful of fused
-device programs instead of the reference's CPU librosa + separate GPU
-model calls.
+Reference: promonet/preprocess/core.py. On TPU the jittable extractors
+(loudness, pitch+periodicity incl. the Pallas Viterbi decode,
+spectrogram, PPG) fuse into ONE XLA program per (length-bucket,
+feature-set) — a single device dispatch and a single host transfer,
+replacing the reference's CPU librosa + three separate GPU model calls.
+Audio is padded to bucketed frame counts to bound recompilation
+(SURVEY.md §5.7); outputs are trimmed to the true frame count.
 """
+import functools
 from pathlib import Path
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 import promonet_tpu
+
+# Features the fused device path can produce
+JITTABLE = ('loudness', 'pitch', 'periodicity', 'spectrogram', 'ppg')
 
 
 def from_audio(
@@ -40,58 +49,96 @@ def from_audio(
         audio = promonet_tpu.utils.audio.resample(
             audio, sample_rate, promonet_tpu.SAMPLE_RATE)
 
+    # Fused device path for the jittable subset: one dispatch per
+    # (bucket, feature-set)
+    jittable_requested = tuple(f for f in _ordered(features) if f in JITTABLE)
+    fused = {}
+    if jittable_requested:
+        fused = dict(
+            zip(
+                jittable_requested,
+                _fused_extract(audio, jittable_requested, loudness_bands)))
+
     result = []
-
-    # Compute loudness
-    if 'loudness' in features:
-        result.append(
-            promonet_tpu.preprocess.loudness.from_audio(
-                audio, loudness_bands))
-
-    # Estimate pitch and periodicity
-    if 'pitch' in features or 'periodicity' in features:
-        if promonet_tpu.VITERBI_DECODE_PITCH:
-            decoder, voicing_threshold = 'viterbi', None
-        else:
-            decoder, voicing_threshold = \
-                'argmax', promonet_tpu.VOICING_THRESHOLD
-        pitch, periodicity = promonet_tpu.preprocess.pitch.from_audio(
-            audio,
-            sample_rate=promonet_tpu.SAMPLE_RATE,
-            hopsize=promonet_tpu.HOPSIZE,
-            fmin=promonet_tpu.FMIN,
-            fmax=promonet_tpu.FMAX,
-            decoder=decoder,
-            interp_unvoiced_at=voicing_threshold)
-        if 'pitch' in features:
-            result.append(pitch)
-        if 'periodicity' in features:
-            result.append(periodicity)
-
-    # Spectrogram (used by the data pipeline; not in the reference menu)
-    if 'spectrogram' in features:
-        result.append(
-            promonet_tpu.preprocess.spectrogram.from_audio(audio))
-
-    # Infer ppg (already at the native frame rate)
-    if 'ppg' in features:
-        result.append(promonet_tpu.preprocess.ppg.from_audio(audio))
-
-    # Infer transcript
-    if 'text' in features:
-        result.append(promonet_tpu.preprocess.text.from_audio(audio))
-
-    # Compute harmonics
-    if 'harmonics' in features:
-        result.append(
-            promonet_tpu.preprocess.harmonics.from_audio(
-                audio, max_harmonics=max_harmonics))
-
-    # Compute speaker embeddings
-    if 'speaker' in features:
-        result.append(promonet_tpu.preprocess.speaker.from_audio(audio))
+    for name in _ordered(features):
+        if name in fused:
+            result.append(fused[name])
+        elif name == 'text':
+            result.append(promonet_tpu.preprocess.text.from_audio(audio))
+        elif name == 'harmonics':
+            result.append(
+                promonet_tpu.preprocess.harmonics.from_audio(
+                    audio, max_harmonics=max_harmonics))
+        elif name == 'speaker':
+            result.append(promonet_tpu.preprocess.speaker.from_audio(audio))
 
     return (*result,)
+
+
+def _fused_extract(audio, features, loudness_bands):
+    """Run the fused extractor with length bucketing; trim to true frames"""
+    from ..data.collate import bucket_frames
+
+    frames = audio.shape[-1] // promonet_tpu.HOPSIZE
+    bucket = bucket_frames(frames)
+    samples = bucket * promonet_tpu.HOPSIZE
+    padded = np.zeros((audio.shape[0], samples), np.float32)
+    padded[:, :audio.shape[-1]] = audio[:, :samples]
+
+    if promonet_tpu.VITERBI_DECODE_PITCH:
+        decoder, interp_at = 'viterbi', None
+    else:
+        decoder, interp_at = 'argmax', promonet_tpu.VOICING_THRESHOLD
+
+    ppg_params = (
+        promonet_tpu.preprocess.ppg._model()[1]
+        if 'ppg' in features else {})
+    outputs = _fused_jit(
+        jnp.asarray(padded),
+        ppg_params,
+        features,
+        loudness_bands,
+        decoder,
+        interp_at)
+    return [out[..., :frames] for out in outputs]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('features', 'bands', 'decoder', 'interp_at'))
+def _fused_jit(audio, ppg_params, features, bands, decoder, interp_at):
+    """All jittable extractors as one XLA program"""
+    from . import loudness as loudness_module
+    from . import pitch as pitch_module
+    from . import ppg as ppg_module
+    from . import spectrogram as spectrogram_module
+
+    out = {}
+    if 'loudness' in features:
+        out['loudness'] = loudness_module._from_audio_jit(audio, bands)
+
+    if 'pitch' in features or 'periodicity' in features:
+        pitch, periodicity = pitch_module._from_audio_jit(
+            audio,
+            promonet_tpu.SAMPLE_RATE,
+            promonet_tpu.HOPSIZE,
+            decoder,
+            interp_at)
+        out['pitch'] = pitch
+        out['periodicity'] = periodicity
+
+    if 'spectrogram' in features or 'ppg' in features:
+        spectrogram = spectrogram_module._from_audio_jit(
+            audio[None], False, None)[0]
+        if 'spectrogram' in features:
+            out['spectrogram'] = spectrogram
+        if 'ppg' in features:
+            mels = spectrogram_module.linear_to_mel(spectrogram)
+            log_probs = ppg_module._model()[0].apply(
+                ppg_params, jnp.swapaxes(mels, -1, -2)[None])
+            out['ppg'] = jnp.exp(jnp.swapaxes(log_probs[0], -1, -2))
+
+    return tuple(out[name] for name in features)
 
 
 def from_file(file, gpu=None, features=('loudness', 'pitch', 'periodicity', 'ppg')):

@@ -96,7 +96,6 @@ def posteriorgram(audio, sample_rate, hopsize):
     return ncc_left * (1 - lag_frac) + ncc_right * lag_frac
 
 
-@functools.partial(jax.jit, static_argnames=('decoder',))
 def _decode(ncc, decoder):
     freqs = jnp.asarray(candidate_frequencies())
     if decoder == 'viterbi':
@@ -104,17 +103,29 @@ def _decode(ncc, decoder):
         transition = viterbi_ops.triangular_transition(
             ncc.shape[-1], TRANSITION_WIDTH)
         initial = jnp.full((ncc.shape[-1],), -jnp.log(ncc.shape[-1]))
-        bins = viterbi_ops.decode(
-            observation,
-            transition,
-            initial,
-            use_pallas=jax.default_backend() == 'tpu')
+        bins = viterbi_ops.decode(observation, transition, initial)
     else:
         bins = jnp.argmax(ncc, axis=-1)
     pitch = freqs[bins]
     periodicity = jnp.clip(
         jnp.take_along_axis(ncc, bins[:, None], axis=-1)[:, 0], 0., 1.)
     return pitch, periodicity
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('sample_rate', 'hopsize', 'decoder', 'interp_at'))
+def _from_audio_jit(audio, sample_rate, hopsize, decoder, interp_at):
+    """Full device-resident pitch extraction: NCC → decode → interp"""
+    ncc = posteriorgram(audio, sample_rate, hopsize)
+    pitch, periodicity = _decode(ncc, decoder)
+    if interp_at is not None:
+        # Interpolate pitch through unvoiced regions in log space
+        # (penn interp_unvoiced_at semantics), with static shapes
+        from ..ops import grid as grid_ops
+        voiced = periodicity > interp_at
+        pitch = jnp.exp(grid_ops.masked_interp(jnp.log(pitch), voiced))
+    return pitch[None], periodicity[None]
 
 
 def from_audio(
@@ -124,12 +135,13 @@ def from_audio(
     fmin=None,
     fmax=None,
     decoder=None,
-    interp_unvoiced_at=None
+    interp_unvoiced_at='default'
 ):
     """Estimate pitch and periodicity
 
     Mirrors the reference's penn call signature semantics
-    (promonet/preprocess/core.py:71-86).
+    (promonet/preprocess/core.py:71-86). One device dispatch; results
+    stay on device for fusion with downstream consumers.
 
     Arguments
         audio: (1, T)
@@ -142,23 +154,11 @@ def from_audio(
     if decoder is None:
         decoder = (
             'viterbi' if promonet_tpu.VITERBI_DECODE_PITCH else 'argmax')
-
-    ncc = posteriorgram(jnp.asarray(audio), sample_rate, hopsize)
-    pitch, periodicity = _decode(ncc, decoder)
-    pitch = np.asarray(pitch)
-    periodicity = np.asarray(periodicity)
-
-    # Interpolate pitch through unvoiced regions (penn interp_unvoiced_at)
-    if interp_unvoiced_at is None:
+    if interp_unvoiced_at == 'default':
         interp_unvoiced_at = promonet_tpu.VOICING_THRESHOLD
-    if interp_unvoiced_at is not None:
-        voiced = periodicity > interp_unvoiced_at
-        if voiced.any() and not voiced.all():
-            t = np.arange(len(pitch))
-            pitch = np.exp(
-                np.interp(t, t[voiced], np.log(pitch[voiced])))
-
-    return pitch[None].astype(np.float32), periodicity[None].astype(np.float32)
+    return _from_audio_jit(
+        jnp.asarray(audio), sample_rate, hopsize, decoder,
+        interp_unvoiced_at)
 
 
 def from_file(audio_file, **kwargs):

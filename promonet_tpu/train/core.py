@@ -473,7 +473,9 @@ def evaluate(directory, step, state, valid_loader, mesh, max_batches=None):
             break
         if batch['audio'].shape[-1] < promonet_tpu.CHUNK_SIZE:
             continue
-        batch = promonet_tpu.parallel.shard_batch(batch, mesh)
+        # Validation batches are batch-size-1 (promonet/data/sampler.py:
+        # 18-22) and may not divide the data axis: replicate them
+        batch = promonet_tpu.parallel.replicate_batch(batch, mesh)
         totals += float(reconstruct(state['generator']['params'], batch))
         count += 1
     if count:

@@ -1,0 +1,101 @@
+"""Training tests: jitted GAN step on an 8-device mesh + end-to-end smoke
+
+Model widths are patched down so CPU compiles stay fast; architecture,
+losses, sharding, and data flow are the production code paths.
+"""
+import numpy as np
+import jax
+import pytest
+
+import promonet_tpu
+from promonet_tpu.train.core import (
+    create_state,
+    example_batch,
+    make_train_step)
+
+
+@pytest.fixture
+def small_model(monkeypatch):
+    monkeypatch.setattr(promonet_tpu, 'HIFIGAN_UPSAMPLE_INITIAL_SIZE', 64)
+    monkeypatch.setattr(promonet_tpu, 'MULTI_PERIOD_DISCRIMINATOR', False)
+    yield
+
+
+def test_train_step_data_parallel(small_model):
+    """Full GAN train step sharded over all 8 virtual devices"""
+    assert len(jax.devices()) == 8
+    mesh = promonet_tpu.parallel.create_mesh({'data': 8})
+
+    batch = example_batch(batch_size=8, frames=8)
+    state = create_state(jax.random.PRNGKey(0))
+    params_before = jax.tree.map(
+        np.asarray, jax.device_get(state['generator']['params']))
+
+    state = promonet_tpu.parallel.shard_pytree(state, mesh)
+    sharded = promonet_tpu.parallel.shard_batch(batch, mesh)
+    # Batch is really sharded over the data axis
+    audio_sharding = sharded['audio'].sharding
+    assert audio_sharding.is_fully_replicated is False
+
+    step_fn = make_train_step()
+    state, metrics = step_fn(state, sharded, jax.random.PRNGKey(1))
+    jax.block_until_ready(state)
+
+    metrics = jax.device_get(metrics)
+    assert np.isfinite(metrics['loss/generator/total'])
+    assert np.isfinite(metrics['loss/discriminator/total'])
+    assert np.isfinite(metrics['loss/generator/mels'])
+
+    # Parameters actually moved
+    params_after = jax.device_get(state['generator']['params'])
+    deltas = jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()),
+        params_before,
+        params_after)
+    assert max(jax.tree.leaves(deltas)) > 0
+
+    # Step is deterministic given the same inputs
+    state2 = promonet_tpu.parallel.shard_pytree(
+        create_state(jax.random.PRNGKey(0)), mesh)
+    state2, metrics2 = step_fn(state2, sharded, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        float(metrics['loss/generator/total']),
+        float(jax.device_get(metrics2['loss/generator/total'])),
+        rtol=1e-5)
+
+
+def test_mel_loss_zero_for_identical_audio(small_model):
+    """Mel loss of ground truth against itself is ~0"""
+    from promonet_tpu.train import loss
+    audio = np.random.default_rng(0).standard_normal(
+        (2, 1, 2048)).astype(np.float32) * 0.3
+    spectrograms = promonet_tpu.preprocess.spectrogram.from_audio(audio)
+    value = float(loss.mel(spectrograms, audio))
+    assert value < 1e-3
+
+
+def test_train_end_to_end_synthetic(small_model, monkeypatch, tmp_path):
+    """Two optimizer steps on a real (synthetic) dataset through train()"""
+    monkeypatch.setattr(promonet_tpu, 'CACHE_DIR', tmp_path / 'cache')
+    monkeypatch.setattr(promonet_tpu, 'ASSETS_DIR', tmp_path / 'assets')
+    monkeypatch.setattr(
+        promonet_tpu, 'AUGMENT_DIR', tmp_path / 'assets' / 'augmentations')
+    monkeypatch.setattr(promonet_tpu, 'BATCH_SIZE', 2)
+    monkeypatch.setattr(promonet_tpu, 'CHUNK_SIZE', 2048)
+    monkeypatch.setattr(promonet_tpu, 'MESH_SHAPE', {'data': 2})
+    monkeypatch.setattr(promonet_tpu, 'EVALUATION_INTERVAL', 10)
+    monkeypatch.setattr(promonet_tpu, 'CHECKPOINT_INTERVAL', 2)
+
+    promonet_tpu.data.synthetic.create(
+        'synthetic', speakers=2, utterances=3, seconds=1.0)
+
+    run_dir = tmp_path / 'run'
+    promonet_tpu.train(run_dir, 'synthetic', steps=2)
+
+    # Checkpoints written with the reference naming convention
+    assert (run_dir / 'generator-00000002').exists()
+    assert (run_dir / 'discriminator-00000002').exists()
+
+    # Auto-resume restores the step counter
+    latest = promonet_tpu.utils.checkpoint.latest_path(run_dir)
+    assert latest is not None and latest.name == 'generator-00000002'
