@@ -1,0 +1,13 @@
+# FARGAN with zero-shot speaker conditioning
+# (reference: config/fargan-zeroshot.py)
+MODULE = 'promonet_tpu'
+
+CONFIG = 'fargan-zeroshot'
+
+MODEL = 'fargan'
+ADVERSARIAL_LOSS_START_STEP = 250000
+BATCH_SIZE = 256
+CHUNK_SIZE = 4096
+MEL_LOSS = False
+SPECTRAL_CONVERGENCE_LOSS = True
+ZERO_SHOT = True

@@ -1,0 +1,22 @@
+# FARGAN vocoder configuration (reference: config/fargan.py)
+MODULE = 'promonet_tpu'
+
+CONFIG = 'fargan'
+
+# The model to use
+MODEL = 'fargan'
+
+# Step to start using adversarial loss
+ADVERSARIAL_LOSS_START_STEP = 250000
+
+# Training batch size
+BATCH_SIZE = 256
+
+# Training sequence length
+CHUNK_SIZE = 4096  # samples
+
+# Whether to use mel spectrogram loss
+MEL_LOSS = False
+
+# Whether to use multi-resolution spectral convergence loss
+SPECTRAL_CONVERGENCE_LOSS = True

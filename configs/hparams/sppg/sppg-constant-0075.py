@@ -1,0 +1,8 @@
+# Sparse-PPG constant-threshold sweep
+# (reference: config/hparams/sppg/sppg-constant-0075.py)
+MODULE = 'promonet_tpu'
+
+CONFIG = 'sppg-constant-0075'
+
+SPARSE_PPG_METHOD = 'constant'
+SPARSE_PPG_THRESHOLD = 0.075

@@ -1,0 +1,8 @@
+# Sparse-PPG percentile sweep
+# (reference: config/hparams/sppg/sppg-percentile-095.py)
+MODULE = 'promonet_tpu'
+
+CONFIG = 'sppg-percentile-095'
+
+SPARSE_PPG_METHOD = 'percentile'
+SPARSE_PPG_THRESHOLD = 0.95

@@ -7,7 +7,7 @@ carrying frame timecodes.
 import numpy as np
 
 import promonet_tpu
-from ..models.export import labels, pack_features as _pack
+from ...models.export import labels, pack_features as _pack
 
 
 def from_features(

@@ -162,3 +162,24 @@ def from_file_to_file(checkpoint, output_file, buffer_size=8192):
     promonet_tpu.utils.checkpoint.save(
         output_file.with_suffix('.params'), params)
     return output_file
+
+
+def _main():
+    """python -m promonet_tpu.models.export
+
+    Reference: promonet/model/export/__main__.py.
+    """
+    from promonet_tpu.utils.cli import ArgumentParser
+    parser = ArgumentParser(description='Export a model for deployment')
+    parser.add_argument(
+        '--checkpoint', type=Path, required=True,
+        help='The generator checkpoint to export')
+    parser.add_argument(
+        '--output_file', type=Path, required=True,
+        help='The export path, minus extension')
+    args = parser.parse_args()
+    from_file_to_file(args.checkpoint, args.output_file)
+
+
+if __name__ == '__main__':
+    _main()

@@ -1,0 +1,42 @@
+"""python -m promonet_tpu.synthesize (reference: promonet/synthesize/__main__.py)"""
+from pathlib import Path
+
+import promonet_tpu
+from promonet_tpu.utils.cli import ArgumentParser
+
+
+def parse_args():
+    parser = ArgumentParser(description='Synthesize speech from features')
+    parser.add_argument(
+        '--loudness_files', type=Path, nargs='+', required=True,
+        help='The loudness files')
+    parser.add_argument(
+        '--pitch_files', type=Path, nargs='+', required=True,
+        help='The pitch files')
+    parser.add_argument(
+        '--periodicity_files', type=Path, nargs='+', required=True,
+        help='The periodicity files')
+    parser.add_argument(
+        '--ppg_files', type=Path, nargs='+', required=True,
+        help='The phonetic posteriorgram files')
+    parser.add_argument(
+        '--output_files', type=Path, nargs='+', required=True,
+        help='The files to save the synthesized audio')
+    parser.add_argument(
+        '--speakers', type=int, nargs='+',
+        help='The IDs of the speakers for voice conversion')
+    parser.add_argument(
+        '--spectral_balance_ratio', type=float, default=1.,
+        help='> 1 for Alvin and the Chipmunks; < 1 for Patrick Star')
+    parser.add_argument(
+        '--loudness_ratio', type=float, default=1.,
+        help='> 1 for louder; < 1 for quieter')
+    parser.add_argument(
+        '--checkpoint', type=Path, help='The generator checkpoint')
+    parser.add_argument(
+        '--gpu', type=int, help='Unused (API parity); device is the TPU')
+    return parser.parse_args()
+
+
+if __name__ == '__main__':
+    promonet_tpu.synthesize.from_files_to_files(**vars(parse_args()))

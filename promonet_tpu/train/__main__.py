@@ -1,0 +1,45 @@
+"""python -m promonet_tpu.train (reference: promonet/train/__main__.py)"""
+import shutil
+from pathlib import Path
+
+import promonet_tpu
+from promonet_tpu.utils.cli import ArgumentParser
+
+
+def main():
+    parser = ArgumentParser(description='Train a model')
+    parser.add_argument(
+        '--dataset', default=promonet_tpu.TRAINING_DATASET,
+        help='The dataset to train on')
+    parser.add_argument(
+        '--train_partition', default='train',
+        help='The partition to train on')
+    parser.add_argument(
+        '--valid_partition', default='valid',
+        help='The partition to validate on')
+    parser.add_argument(
+        '--adapt_from', type=Path,
+        help='A checkpoint to perform adaptation from')
+    parser.add_argument(
+        '--gpu', type=int, help='Unused (API parity); device is the TPU')
+    args = parser.parse_args()
+
+    directory = promonet_tpu.RUNS_DIR / promonet_tpu.CONFIG
+    directory.mkdir(parents=True, exist_ok=True)
+
+    # Copy configuration into the run directory
+    # (reference: promonet/train/__main__.py:21-27)
+    for config in parser.config_paths:
+        shutil.copyfile(config, directory / Path(config).name)
+
+    promonet_tpu.train(
+        directory,
+        args.dataset,
+        args.train_partition,
+        args.valid_partition,
+        args.adapt_from,
+        args.gpu)
+
+
+if __name__ == '__main__':
+    main()
