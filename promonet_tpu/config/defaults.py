@@ -414,3 +414,10 @@ MESH_SHAPE = None  # e.g. {'data': 8}
 # Pad-to-bucket granularity (frames) for variable-length inference to
 # bound XLA recompilation
 INFERENCE_FRAME_BUCKETS = [64, 128, 256, 512, 1024, 2048, 4096]
+
+# Pitch estimation front-end: 'dsp' (normalized cross-correlation; no
+# pretrained weights needed) or 'cnn' (FCNF0-style learned estimator;
+# loads weights from ASSETS_DIR/checkpoints/pitch when present).
+# Replaces the reference's external penn dependency
+# (promonet/preprocess/core.py:64-86).
+PITCH_ESTIMATOR = 'dsp'

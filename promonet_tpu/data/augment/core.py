@@ -71,6 +71,10 @@ def from_files_to_files(audio_files, output_files, ratios, kind='pitch'):
         promonet_tpu.utils.audio.save(output_file, augmented, sr)
 
 
+from ...utils.notify import notify
+
+
+@notify('augment')
 def datasets(datasets=None):
     """Augment cached datasets, writing ratio JSONs
 

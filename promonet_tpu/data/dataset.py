@@ -13,6 +13,7 @@ from pathlib import Path
 import numpy as np
 
 import promonet_tpu
+from . import native
 
 
 class Dataset:
@@ -73,10 +74,18 @@ class Dataset:
         return len(self.stems)
 
     def __getitem__(self, index):
+        return self.load_item(index)
+
+    def load_item(self, index, chunk_rng=None):
+        """Load one example; with chunk_rng, crop to CHUNK_SIZE directly
+
+        The chunked path reads only the needed audio window — through the
+        native C++ decoder (data/native.py) when built — instead of
+        decoding the whole file and cropping in Python.
+        """
         stem = self.stems[index]
         load = promonet_tpu.load
 
-        audio = load.audio(self.cache / f'{stem}.wav')
         pitch = load.array(self.cache / f'{stem}{self.viterbi}-pitch.npy')
         periodicity = load.array(
             self.cache / f'{stem}{self.viterbi}-periodicity.npy')
@@ -105,7 +114,7 @@ class Dataset:
             speaker = np.asarray(
                 self.speaker_index.get(speaker_dir, 0), np.int32)
 
-        return {
+        item = {
             'text': text,
             'loudness': np.asarray(loudness, np.float32),
             'pitch': np.asarray(pitch, np.float32).reshape(-1),
@@ -115,9 +124,40 @@ class Dataset:
             'spectral_balance_ratios': np.asarray(ratio_pitch, np.float32),
             'loudness_ratios': np.asarray(ratio_loudness, np.float32),
             'spectrograms': np.asarray(spectrogram, np.float32),
-            'audio': np.asarray(audio, np.float32),
             'stems': stem,
         }
+
+        wav = self.cache / f'{stem}.wav'
+        if chunk_rng is None:
+            item['audio'] = np.asarray(load.audio(wav), np.float32)
+            return item
+
+        # Chunked training path: crop features, read only the matching
+        # audio window (reference crops after full decode,
+        # promonet/data/dataset.py:91-117)
+        hopsize = promonet_tpu.HOPSIZE
+        chunk = promonet_tpu.CHUNK_SIZE
+        frames = chunk // hopsize
+        total_frames = pitch.shape[-1]
+
+        if total_frames < frames:
+            # Short clip: decode fully and reflect-pad
+            item['audio'] = np.asarray(load.audio(wav), np.float32)
+            return random_chunk(item, chunk_rng)
+
+        start_frame = int(chunk_rng.integers(0, total_frames - frames + 1))
+        for key in ('loudness', 'ppg', 'spectrograms'):
+            item[key] = item[key][..., start_frame:start_frame + frames]
+        for key in ('pitch', 'periodicity'):
+            item[key] = item[key][start_frame:start_frame + frames]
+
+        start = start_frame * hopsize
+        if native.available():
+            item['audio'] = native.wav_chunk(wav, start, chunk)[None]
+        else:
+            item['audio'] = np.asarray(
+                load.audio(wav), np.float32)[..., start:start + chunk]
+        return item
 
     @staticmethod
     def _parse_ratios(stem):

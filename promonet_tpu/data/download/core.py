@@ -16,6 +16,10 @@ import promonet_tpu
 PEAK_TARGET = 0.35
 
 
+from ...utils.notify import notify
+
+
+@notify('download')
 def datasets(datasets=None):
     """Format datasets found on disk into the cache layout"""
     if datasets is None:

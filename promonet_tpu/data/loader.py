@@ -31,11 +31,12 @@ class Loader:
     def _load_batch(self, indices, epoch):
         items = []
         for index in indices:
-            item = self.dataset[index]
             if self.train:
                 rng = np.random.default_rng(
                     (promonet_tpu.RANDOM_SEED, epoch, index))
-                item = random_chunk(item, rng)
+                item = self.dataset.load_item(index, chunk_rng=rng)
+            else:
+                item = self.dataset[index]
             items.append(item)
         return collate(items, pad_to_bucket=not self.train)
 

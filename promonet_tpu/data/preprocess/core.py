@@ -7,6 +7,10 @@ spectrograms.
 import promonet_tpu
 
 
+from ...utils.notify import notify
+
+
+@notify('preprocess')
 def datasets(datasets=None, features=None, gpu=None):
     if datasets is None:
         datasets = promonet_tpu.DATASETS

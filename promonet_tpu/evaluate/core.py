@@ -16,6 +16,10 @@ from ..utils import timer
 from .metrics import Metrics
 
 
+from ..utils.notify import notify
+
+
+@notify('evaluate')
 def datasets(datasets=None, checkpoint=None, gpu=None, max_stems=None):
     """Evaluate datasets (reference: promonet/evaluate/core.py:42-140)"""
     if datasets is None:

@@ -4,6 +4,7 @@ Reference: promonet/edit/grid.py and the ppgs grid constructors it
 delegates to. Sampling is a vectorized gather + lerp; fully jittable for
 static grid lengths.
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 

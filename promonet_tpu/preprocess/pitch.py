@@ -20,6 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import linen as nn
 
 import promonet_tpu
 from ..ops import viterbi as viterbi_ops
@@ -96,6 +97,86 @@ def posteriorgram(audio, sample_rate, hopsize):
     return ncc_left * (1 - lag_frac) + ncc_right * lag_frac
 
 
+###############################################################################
+# Learned estimator (penn-replacement slot)
+###############################################################################
+
+
+class PitchCNN:
+    """FCNF0-style framewise pitch-posterior CNN.
+
+    A learned alternative to the NCC front-end, matching penn's
+    inference contract: audio frames in, per-frame posteriors over the
+    candidate frequency bins out, decoded by the same Viterbi/argmax
+    path. Weights load from ASSETS_DIR/checkpoints/pitch (e.g. ported
+    penn FCNF0++ weights re-laid-out for these modules); without a
+    checkpoint the DSP front-end should be used instead
+    (PITCH_ESTIMATOR = 'dsp').
+    """
+
+    FRAME_SIZE = 1024
+
+    class Model(nn.Module):
+        channels: tuple = (128, 32, 32, 64, 128, 256)
+        kernel_sizes: tuple = (32, 16, 8, 8, 8, 4)
+        strides: tuple = (4, 2, 2, 1, 1, 1)
+        num_bins: int = CANDIDATES
+
+        @nn.compact
+        def __call__(self, frames):
+            """frames: (B, FRAME_SIZE) -> logits (B, num_bins)"""
+            x = frames[..., None]  # (B, T, 1)
+            for features, kernel, stride in zip(
+                self.channels, self.kernel_sizes, self.strides
+            ):
+                x = nn.Conv(features, (kernel,), strides=(stride,))(x)
+                x = nn.LayerNorm()(x)
+                x = nn.relu(x)
+            x = x.reshape(x.shape[0], -1)
+            return nn.Dense(self.num_bins)(x)
+
+    def __init__(self):
+        self.module = self.Model()
+        checkpoint = promonet_tpu.ASSETS_DIR / 'checkpoints' / 'pitch'
+        if checkpoint.exists():
+            self.params = promonet_tpu.utils.checkpoint.load(
+                checkpoint)['params']
+        else:
+            self.params = self.module.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, self.FRAME_SIZE)))
+
+    @classmethod
+    def instance(cls):
+        if not hasattr(cls, '_instance'):
+            cls._instance = cls()
+        return cls._instance
+
+    def posteriorgram(self, audio, sample_rate, hopsize):
+        """Per-frame bin scores, same layout as the NCC front-end"""
+        samples = audio[0]
+        num_frames = samples.shape[-1] // hopsize
+        centers = (np.arange(num_frames) + 0.5) * hopsize
+        starts = np.round(centers - self.FRAME_SIZE / 2).astype(np.int64)
+        pad_left = max(0, -int(starts.min()))
+        pad_right = max(
+            0, int(starts.max()) + self.FRAME_SIZE - samples.shape[-1])
+        padded = jnp.pad(samples, (pad_left, pad_right))
+        idx = (starts + pad_left)[:, None] + np.arange(self.FRAME_SIZE)[None]
+        frames = padded[idx]
+        # Per-frame normalization (penn-style)
+        frames = frames - frames.mean(axis=-1, keepdims=True)
+        frames = frames / jnp.maximum(
+            frames.std(axis=-1, keepdims=True), 1e-6)
+        return self.module.apply(self.params, frames)
+
+
+def _front_end(audio, sample_rate, hopsize):
+    """Select the configured posteriorgram front-end"""
+    if promonet_tpu.PITCH_ESTIMATOR == 'cnn':
+        return PitchCNN.instance().posteriorgram(audio, sample_rate, hopsize)
+    return posteriorgram(audio, sample_rate, hopsize)
+
+
 def _decode(ncc, decoder):
     freqs = jnp.asarray(candidate_frequencies())
     if decoder == 'viterbi':
@@ -116,8 +197,8 @@ def _decode(ncc, decoder):
     jax.jit,
     static_argnames=('sample_rate', 'hopsize', 'decoder', 'interp_at'))
 def _from_audio_jit(audio, sample_rate, hopsize, decoder, interp_at):
-    """Full device-resident pitch extraction: NCC → decode → interp"""
-    ncc = posteriorgram(audio, sample_rate, hopsize)
+    """Full device-resident pitch extraction: front-end → decode → interp"""
+    ncc = _front_end(audio, sample_rate, hopsize)
     pitch, periodicity = _decode(ncc, decoder)
     if interp_at is not None:
         # Interpolate pitch through unvoiced regions in log space

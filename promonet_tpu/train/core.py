@@ -32,6 +32,10 @@ from . import loss as loss_module
 ###############################################################################
 
 
+from ..utils.notify import notify
+
+
+@notify('train')
 def train(
     directory,
     dataset=None,
@@ -447,12 +451,13 @@ def make_train_step(discriminate=None, adversarial=None):
 
 
 def evaluate(directory, step, state, valid_loader, mesh, max_batches=None):
-    """Validation-time reconstruction metrics
+    """Validation-time evaluation.
 
-    Reduced form of the reference's in-train evaluation
-    (promonet/train/core.py:487-813): synthesizes reconstructions from
-    validation features and logs mel distance; feature re-extraction
-    metrics run in offline evaluation (promonet_tpu.evaluate).
+    Mirrors the reference's in-train evaluation (promonet/train/
+    core.py:487-813): synthesize reconstructions from validation
+    features, re-extract features from the generated audio, score with
+    the Metrics bundle, and log scalars plus waveforms and prosody
+    figures for the first PLOT_EXAMPLES examples.
     """
     if max_batches is None:
         max_batches = promonet_tpu.DEFAULT_EVALUATION_STEPS
@@ -465,21 +470,75 @@ def evaluate(directory, step, state, valid_loader, mesh, max_batches=None):
             g_params,
             *generator_args(batch),
             previous_samples=previous_samples_of(batch))
-        return loss.mel(batch['spectrograms'], generated)
+        return generated, loss.mel(batch['spectrograms'], generated)
 
-    totals, count = 0., 0
+    metrics = promonet_tpu.evaluate.Metrics(include_wer=False)
+    mel_total, count = 0., 0
+    audio_logs, figure_logs = {}, {}
+
     for i, batch in enumerate(valid_loader):
         if i >= max_batches:
             break
-        if batch['audio'].shape[-1] < promonet_tpu.CHUNK_SIZE:
-            continue
         # Validation batches are batch-size-1 (promonet/data/sampler.py:
         # 18-22) and may not divide the data axis: replicate them
-        batch = promonet_tpu.parallel.replicate_batch(batch, mesh)
-        totals += float(reconstruct(state['generator']['params'], batch))
+        device_batch = promonet_tpu.parallel.replicate_batch(batch, mesh)
+        generated, mel_loss = reconstruct(
+            state['generator']['params'], device_batch)
+        mel_total += float(mel_loss)
         count += 1
-    if count:
-        promonet_tpu.utils.log.update(
-            directory,
-            step,
-            scalars={'validation/mels': totals / count})
+
+        if promonet_tpu.SPECTROGRAM_ONLY:
+            continue
+
+        # Re-extract features from the generated audio and score
+        length = int(batch['lengths'][0])
+        waveform = np.asarray(
+            generated)[0, :, :length * promonet_tpu.HOPSIZE]
+        predicted = promonet_tpu.preprocess.from_audio(
+            waveform,
+            features=('loudness', 'pitch', 'periodicity', 'ppg'),
+            loudness_bands=None)
+        metrics.update(
+            np.asarray(batch['loudness'][0, :, :length]).mean(axis=-2),
+            np.asarray(predicted[0]).mean(axis=-2)[:length],
+            batch['pitch'][0, :length],
+            batch['periodicity'][0, :length],
+            np.asarray(predicted[1])[0, :length],
+            np.asarray(predicted[2])[0, :length],
+            batch['ppg'][0, :, :length],
+            np.asarray(predicted[3])[:, :length])
+
+        if i < promonet_tpu.PLOT_EXAMPLES:
+            stem = batch['stems'][0].replace('/', '-')
+            audio_logs[f'audio/{stem}'] = waveform
+            try:
+                figure_logs[f'prosody/{stem}'] = \
+                    promonet_tpu.plot.from_features(
+                        audio=waveform,
+                        loudness=np.asarray(predicted[0]),
+                        pitch=np.asarray(predicted[1]),
+                        periodicity=np.asarray(predicted[2]),
+                        ppg=np.asarray(predicted[3]),
+                        target_pitch=batch['pitch'][0, :length],
+                        target_periodicity=batch['periodicity'][0, :length],
+                        target_loudness=batch['loudness'][0, :, :length])
+            except Exception:
+                pass
+
+    if not count:
+        return
+    scalars = {'validation/mels': mel_total / count}
+    if not promonet_tpu.SPECTROGRAM_ONLY:
+        for name, value in metrics().items():
+            if isinstance(value, dict):
+                for sub, subvalue in value.items():
+                    scalars[f'validation/{sub}'] = subvalue
+            else:
+                scalars[f'validation/{name}'] = value
+    promonet_tpu.utils.log.update(
+        directory,
+        step,
+        scalars=scalars,
+        audio=audio_logs or None,
+        sample_rate=promonet_tpu.SAMPLE_RATE,
+        figures=figure_logs or None)

@@ -1,4 +1,6 @@
 from . import audio
 from . import checkpoint
+from . import cli
 from . import log
+from . import notify
 from . import timer

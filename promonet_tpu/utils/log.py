@@ -55,6 +55,11 @@ def update(
         if figures:
             for name, figure in figures.items():
                 writer.add_figure(name, figure, int(step))
+                try:
+                    import matplotlib.pyplot as plt
+                    plt.close(figure)
+                except Exception:
+                    pass
 
     if writer is not None:
         writer.flush()

@@ -1,0 +1,249 @@
+"""End-to-end pipeline tests over a synthetic corpus (SURVEY.md §4)"""
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import promonet_tpu
+
+
+@pytest.fixture(scope='module')
+def corpus(tmp_path_factory):
+    """Synthetic dataset with cache + partitions in a temp tree"""
+    tmp = tmp_path_factory.mktemp('corpus')
+    old = (
+        promonet_tpu.CACHE_DIR,
+        promonet_tpu.ASSETS_DIR,
+        promonet_tpu.AUGMENT_DIR,
+        promonet_tpu.RESULTS_DIR)
+    promonet_tpu.CACHE_DIR = tmp / 'cache'
+    promonet_tpu.ASSETS_DIR = tmp / 'assets'
+    promonet_tpu.AUGMENT_DIR = tmp / 'assets' / 'augmentations'
+    promonet_tpu.RESULTS_DIR = tmp / 'results'
+    promonet_tpu.data.synthetic.create(
+        'synthetic', speakers=2, utterances=3, seconds=1.0)
+    yield tmp
+    (
+        promonet_tpu.CACHE_DIR,
+        promonet_tpu.ASSETS_DIR,
+        promonet_tpu.AUGMENT_DIR,
+        promonet_tpu.RESULTS_DIR) = old
+
+
+def test_cache_layout(corpus):
+    """Reference cache layout: wav + per-feature files per stem"""
+    cache = promonet_tpu.CACHE_DIR / 'synthetic'
+    stem = cache / '0000' / '000000-100'
+    assert stem.with_suffix('.wav').exists()
+    for suffix in (
+        '-loudness.npy', '-viterbi-pitch.npy', '-viterbi-periodicity.npy',
+        '-spectrogram.npy', '-ppg.npy'
+    ):
+        assert (cache / '0000' / f'000000-100{suffix}').exists(), suffix
+    # Full-band loudness in the cache (data preprocessing convention)
+    loudness = np.load(cache / '0000' / '000000-100-loudness.npy')
+    assert loudness.shape[0] == 513
+
+
+def test_dataset_and_loader(corpus):
+    dataset = promonet_tpu.data.Dataset('synthetic', 'train')
+    assert len(dataset) > 0
+    item = dataset[0]
+    frames = item['pitch'].shape[-1]
+    assert item['ppg'].shape == (promonet_tpu.PPG_CHANNELS, frames)
+    assert item['loudness'].shape[-1] == frames
+    assert item['audio'].shape[-1] >= frames * promonet_tpu.HOPSIZE
+
+    loader = promonet_tpu.data.loader('synthetic', 'valid')
+    batch = next(iter(loader))
+    # Padded to a bucket
+    assert batch['pitch'].shape[-1] in promonet_tpu.INFERENCE_FRAME_BUCKETS
+
+
+def test_augmentation(corpus, monkeypatch):
+    promonet_tpu.data.augment.datasets(['synthetic'])
+    for kind in ('pitch', 'loudness'):
+        file = promonet_tpu.AUGMENT_DIR / f'synthetic-{kind}.json'
+        assert file.exists()
+        with open(file) as f:
+            ratios = json.load(f)
+        assert len(ratios) == 6  # 2 speakers x 3 utterances
+        # Augmented wavs written next to originals
+        for stem, ratio in list(ratios.items())[:2]:
+            prefix = kind[0]
+            wav = (
+                promonet_tpu.CACHE_DIR / 'synthetic' /
+                f'{stem}-{prefix}{ratio}.wav')
+            assert wav.exists()
+            assert 50 <= ratio <= 200
+
+
+def test_partition(corpus):
+    partition = promonet_tpu.partition.dataset('synthetic')
+    stems = (
+        set(partition['train']) | set(partition['valid']) |
+        set(partition['test']))
+    # Only originals partitioned, no overlap
+    assert all(stem.endswith('-100') for stem in stems)
+    assert not (set(partition['train']) & set(partition['test']))
+
+    adapt = promonet_tpu.partition.adaptation_partitions('synthetic')
+    assert 'train-adapt-00' in adapt and 'test-adapt-00' in adapt
+
+
+def test_pitch_distribution(corpus, monkeypatch):
+    """Variable-bin boundaries from cached voiced pitch"""
+    if hasattr(promonet_tpu.load.pitch_distribution, 'distribution'):
+        del promonet_tpu.load.pitch_distribution.distribution
+    distribution = promonet_tpu.load.pitch_distribution('synthetic')
+    assert distribution.shape == (promonet_tpu.PITCH_BINS,)
+    assert (np.diff(distribution) >= 0).all()
+    assert distribution.min() >= promonet_tpu.FMIN
+    assert distribution.max() <= promonet_tpu.FMAX
+    del promonet_tpu.load.pitch_distribution.distribution
+
+
+def test_world_baseline(corpus, audio):
+    """DSP baseline: analysis/synthesis and time-stretch"""
+    out = promonet_tpu.baseline.world.from_audio(audio)
+    assert out.shape[0] == 1
+    assert np.isfinite(out).all()
+    # Time-stretch via parameter interpolation
+    frames = audio.shape[-1] // promonet_tpu.HOPSIZE
+    grid = np.linspace(0, frames - 1, frames // 2)
+    stretched = promonet_tpu.baseline.world.from_audio(audio, grid=grid)
+    assert abs(
+        stretched.shape[-1] - len(grid) * promonet_tpu.HOPSIZE) <= 256
+
+
+def test_edit_selective_stretch(audio):
+    """PPG-aware stretch exempting silence preserves total ratio"""
+    loudness, pitch, periodicity, ppg = promonet_tpu.preprocess.from_audio(
+        np.asarray(audio), loudness_bands=None)
+    edited = promonet_tpu.edit.from_features(
+        loudness, pitch, periodicity, ppg,
+        time_stretch_ratio=1.5,
+        stretch_silence=False)
+    target = round(pitch.shape[-1] / 1.5)
+    assert abs(edited[1].shape[-1] - target) <= 1
+
+
+def test_pack_roundtrip(corpus):
+    """Packed features unpack to the originals (export contract)"""
+    from promonet_tpu.models import export
+    cache = promonet_tpu.CACHE_DIR / 'synthetic' / '0000'
+    loudness = np.load(cache / '000000-100-loudness.npy')[None]
+    pitch = np.load(cache / '000000-100-viterbi-pitch.npy').reshape(1, -1)
+    periodicity = np.load(
+        cache / '000000-100-viterbi-periodicity.npy').reshape(1, -1)
+    ppg = np.load(cache / '000000-100-ppg.npy')[None]
+
+    packed = export.pack_features(
+        jnp.asarray(loudness),
+        jnp.asarray(pitch[0])[None],
+        jnp.asarray(periodicity[0])[None],
+        jnp.asarray(ppg),
+        jnp.asarray([3]),
+        jnp.asarray([1.1]),
+        jnp.asarray([0.9]))
+    assert packed.shape == (
+        1,
+        promonet_tpu.LOUDNESS_BANDS + 2 + promonet_tpu.PPG_CHANNELS + 3,
+        pitch.shape[-1])
+
+    unpacked = export.unpack_features(packed)
+    np.testing.assert_allclose(np.asarray(unpacked[1]), pitch, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(unpacked[2]), periodicity, atol=1e-5)
+    assert int(unpacked[4][0]) == 3
+    np.testing.assert_allclose(float(unpacked[5][0]), 1.1, atol=1e-6)
+
+
+def test_metrics():
+    """Metric bundle matches hand computation"""
+    metrics = promonet_tpu.evaluate.Metrics(include_wer=False)
+    rng = np.random.default_rng(0)
+    pitch = rng.uniform(100, 300, 50)
+    periodicity = np.full(50, .5)
+    ppg = jax.nn.softmax(jnp.asarray(rng.standard_normal((40, 50))), axis=0)
+    loudness = rng.uniform(-80, -20, 50)
+
+    metrics.update(
+        loudness, loudness + 3.,
+        pitch, periodicity,
+        pitch * 2 ** (100 / 1200), periodicity + .05,
+        ppg, ppg)
+    values = metrics()
+    assert np.isclose(values['pitch'], 100., atol=1e-3)
+    assert np.isclose(values['loudness']['loudness'], 3., atol=1e-3)
+    assert np.isclose(values['periodicity'], .05, atol=1e-4)
+    assert values['ppg'] < 1e-3
+
+
+def test_wer():
+    from promonet_tpu.evaluate.metrics import WER
+    wer = WER()
+    wer.update('the cat sat', 'the cat sat')
+    assert wer() == 0.
+    wer.reset()
+    wer.update('the cat sat', 'the dog sat')
+    assert np.isclose(wer(), 1 / 3)
+
+
+def test_plot(corpus, tmp_path, audio):
+    loudness, pitch, periodicity, ppg = promonet_tpu.preprocess.from_audio(
+        np.asarray(audio), loudness_bands=None)
+    figure = promonet_tpu.plot.from_features(
+        audio=np.asarray(audio),
+        loudness=np.asarray(loudness),
+        pitch=np.asarray(pitch),
+        periodicity=np.asarray(periodicity),
+        ppg=np.asarray(ppg),
+        target_pitch=np.asarray(pitch) * 1.1)
+    out = tmp_path / 'figure.png'
+    figure.savefig(out)
+    assert out.stat().st_size > 1000
+
+
+def test_speaker_embedding_fallback(audio):
+    embedding = promonet_tpu.preprocess.speaker.from_audio(np.asarray(audio))
+    assert embedding.shape == (promonet_tpu.WAVLM_EMBEDDING_CHANNELS,)
+    assert np.isclose(np.linalg.norm(embedding), 1., atol=1e-4)
+
+
+def test_harmonics(audio):
+    harmonics = promonet_tpu.preprocess.harmonics.from_audio(
+        np.asarray(audio), decoder='viterbi')
+    frames = audio.shape[-1] // promonet_tpu.HOPSIZE
+    assert harmonics.shape == (promonet_tpu.MAX_HARMONICS, frames)
+    # Harmonic ordering where defined
+    finite = np.isfinite(harmonics).all(axis=0)
+    assert (harmonics[1, finite] >= harmonics[0, finite]).mean() > 0.8
+
+
+def test_evaluate_datasets(corpus, monkeypatch):
+    """Offline evaluation: conditions, metrics, RTF benchmark, results.json"""
+    monkeypatch.setattr(promonet_tpu, 'HIFIGAN_UPSAMPLE_INITIAL_SIZE', 64)
+    monkeypatch.setattr(promonet_tpu, 'EVALUATION_RATIOS', [1.414])
+    # Clear the synthesize model cache (config changed)
+    if hasattr(promonet_tpu.synthesize.core._cached_model, 'cache'):
+        promonet_tpu.synthesize.core._cached_model.cache = {}
+
+    results = promonet_tpu.evaluate.datasets(
+        ['synthetic'], checkpoint=None, max_stems=1)
+
+    synthetic = results['synthetic']
+    objective = synthetic['objective']
+    assert set(objective) == {
+        'reconstructed', 'shifted-141', 'stretched-141', 'scaled-141'}
+    for condition, values in objective.items():
+        assert np.isfinite(values['pitch']), condition
+        assert np.isfinite(values['ppg']), condition
+    assert 'edit' in synthetic['benchmark']
+    assert synthetic['benchmark']['generate']['rtf'] > 0
+
+    out = promonet_tpu.RESULTS_DIR / promonet_tpu.CONFIG / 'synthetic'
+    assert (out / 'results.json').exists()
+
+    promonet_tpu.synthesize.core._cached_model.cache = {}
