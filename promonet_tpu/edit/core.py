@@ -6,15 +6,42 @@ The variable-rate grid construction (edit/core.py:92-110) runs on the host
 (it determines output length, which must be static for the device); the
 actual feature resampling is vectorized JAX.
 """
+import functools
 import math
 import os
 from typing import List, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 import promonet_tpu
+from ..ops import grid as grid_ops
 from ..preprocess.ppg import PHONEME_TO_INDEX_MAPPING, PHONEMES, SILENCE, VOICED
+
+
+@functools.partial(jax.jit, static_argnames=('method', 'clip_pitch'))
+def _edit_with_grid(
+    loudness, pitch, periodicity, ppg, grid, shift_ratio, scale_db,
+    method, clip_pitch
+):
+    """Stretch + shift + scale as ONE device dispatch"""
+    pitch = 2 ** grid_ops.sample(jnp.log2(pitch), grid)
+    periodicity = grid_ops.sample(periodicity, grid)
+    loudness = grid_ops.sample(loudness, grid)
+    ppg = grid_ops.sample(ppg, grid, method)
+    pitch = pitch * shift_ratio
+    if clip_pitch:
+        pitch = jnp.clip(pitch, promonet_tpu.FMIN, promonet_tpu.FMAX)
+    return loudness + scale_db, pitch, periodicity, ppg
+
+
+@functools.partial(jax.jit, static_argnames=('clip_pitch',))
+def _edit_no_grid(loudness, pitch, shift_ratio, scale_db, clip_pitch):
+    pitch = pitch * shift_ratio
+    if clip_pitch:
+        pitch = jnp.clip(pitch, promonet_tpu.FMIN, promonet_tpu.FMAX)
+    return loudness + scale_db, pitch
 
 
 def from_features(
@@ -53,7 +80,16 @@ def from_features(
     ppg = jnp.asarray(ppg)
     grid = None
 
-    # Maybe time-stretch
+    # All edits run as a single device dispatch; scalar edit amounts are
+    # traced so different shifts/scales reuse the compiled program
+    shift_ratio = jnp.asarray(
+        promonet_tpu.convert.cents_to_ratio(pitch_shift_cents)
+        if pitch_shift_cents is not None else 1., jnp.float32)
+    scale_db = jnp.asarray(
+        loudness_scale_db if loudness_scale_db is not None else 0.,
+        jnp.float32)
+    clip_pitch = pitch_shift_cents is not None
+
     if time_stretch_ratio is not None:
         if stretch_unvoiced and stretch_silence:
             grid = promonet_tpu.edit.grid.constant(ppg, time_stretch_ratio)
@@ -63,21 +99,13 @@ def from_features(
                 time_stretch_ratio,
                 stretch_unvoiced,
                 stretch_silence)
-
-        pitch = 2 ** promonet_tpu.edit.grid.sample(jnp.log2(pitch), grid)
-        periodicity = promonet_tpu.edit.grid.sample(periodicity, grid)
-        loudness = promonet_tpu.edit.grid.sample(loudness, grid)
-        ppg = promonet_tpu.edit.grid.sample(
-            ppg, grid, promonet_tpu.PPG_INTERP_METHOD)
-
-    # Maybe pitch-shift
-    if pitch_shift_cents is not None:
-        pitch = pitch * promonet_tpu.convert.cents_to_ratio(pitch_shift_cents)
-        pitch = jnp.clip(pitch, promonet_tpu.FMIN, promonet_tpu.FMAX)
-
-    # Maybe loudness-scale
-    if loudness_scale_db is not None:
-        loudness = loudness + loudness_scale_db
+        loudness, pitch, periodicity, ppg = _edit_with_grid(
+            loudness, pitch, periodicity, ppg, grid,
+            shift_ratio, scale_db,
+            promonet_tpu.PPG_INTERP_METHOD, clip_pitch)
+    elif pitch_shift_cents is not None or loudness_scale_db is not None:
+        loudness, pitch = _edit_no_grid(
+            loudness, pitch, shift_ratio, scale_db, clip_pitch)
 
     if return_grid:
         return loudness, pitch, periodicity, ppg, grid

@@ -206,9 +206,13 @@ class SubframeNetwork(nn.Module):
         if self.gain_normalization:
             output = output * gain
 
+        # Pin state dtypes: the scan carry must keep identical types
+        # across iterations regardless of promotion inside the body
         states = (
-            gru_states[0], gru_states[1], gru_states[2],
-            subframe_input_features)
+            gru_states[0].astype(self.dtype),
+            gru_states[1].astype(self.dtype),
+            gru_states[2].astype(self.dtype),
+            subframe_input_features.astype(self.dtype))
         return output, states
 
 

@@ -204,23 +204,22 @@ def generate(
         frames = pitch.shape[-1]
         padded = bucket_frames(frames)
 
+        # Pad on the host in numpy: device-side eager padding would cost
+        # one dispatch round-trip per array on a remote interconnect
         def pad(x):
+            x = np.asarray(x, np.float32)
             width = [(0, 0)] * (x.ndim - 1) + [(0, padded - x.shape[-1])]
-            return jnp.pad(x, width)
+            return np.pad(x, width)
 
-        speaker_arr = (
-            jnp.asarray(speaker)[None]
-            if np.ndim(speaker) <= 1 and not promonet_tpu.ZERO_SHOT
-            else jnp.asarray(speaker)[None])
+        speaker_arr = np.asarray(speaker)[None]
         audio = apply(
             params,
             pad(loudness)[None],
-            pad(jnp.nan_to_num(pitch, nan=100.))[None],
+            pad(np.nan_to_num(np.asarray(pitch), nan=100.))[None],
             pad(periodicity)[None],
             pad(ppg)[None],
             speaker_arr.astype(
-                jnp.int32 if not promonet_tpu.ZERO_SHOT else jnp.float32),
-            jnp.asarray([spectral_balance_ratio], jnp.float32),
-            jnp.asarray([loudness_ratio], jnp.float32))
-        audio = audio[0, :, :frames * promonet_tpu.HOPSIZE]
-        return jax.device_get(audio)
+                np.int32 if not promonet_tpu.ZERO_SHOT else np.float32),
+            np.asarray([spectral_balance_ratio], np.float32),
+            np.asarray([loudness_ratio], np.float32))
+        return np.asarray(audio)[0, :, :frames * promonet_tpu.HOPSIZE]
