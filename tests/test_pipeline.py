@@ -247,3 +247,27 @@ def test_evaluate_datasets(corpus, monkeypatch):
     assert (out / 'results.json').exists()
 
     promonet_tpu.synthesize.core._cached_model.cache = {}
+
+
+def test_fused_edited_audio(corpus, monkeypatch, audio):
+    """from_edited_audio (single-dispatch path) matches the 3-call API"""
+    monkeypatch.setattr(promonet_tpu, 'HIFIGAN_UPSAMPLE_INITIAL_SIZE', 64)
+    if hasattr(promonet_tpu.synthesize.core._cached_model, 'cache'):
+        promonet_tpu.synthesize.core._cached_model.cache = {}
+
+    out = promonet_tpu.synthesize.from_edited_audio(
+        np.asarray(audio),
+        pitch_shift_cents=200.,
+        time_stretch_ratio=1.414,
+        loudness_scale_db=3.,
+        speaker=1)
+    frames = audio.shape[-1] // promonet_tpu.HOPSIZE
+    expected = round(frames / 1.414) * promonet_tpu.HOPSIZE
+    assert out.shape == (1, expected)
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() <= 1.
+
+    # No-edit variant: output length equals input frames
+    out = promonet_tpu.synthesize.from_edited_audio(np.asarray(audio))
+    assert out.shape == (1, frames * promonet_tpu.HOPSIZE)
+    promonet_tpu.synthesize.core._cached_model.cache = {}
