@@ -109,7 +109,22 @@ class Dataset:
         # Speaker conditioning
         speaker_dir = stem.split('/')[0]
         if promonet_tpu.ZERO_SHOT:
-            speaker = load.array(self.cache / f'{stem}-speaker.npy')
+            speaker_stem = stem
+            # Maybe shuffle: condition on a random other utterance of
+            # the SAME speaker so the embedding cannot leak content
+            # (promonet/data/dataset.py:119-128, ZERO_SHOT_SHUFFLE)
+            if (
+                promonet_tpu.ZERO_SHOT_SHUFFLE and
+                chunk_rng is not None
+            ):
+                candidates = [
+                    s for s in self.stems
+                    if s.split('/')[0] == speaker_dir and s != stem]
+                if candidates:
+                    speaker_stem = candidates[
+                        int(chunk_rng.integers(0, len(candidates)))]
+            speaker = load.array(
+                self.cache / f'{speaker_stem}-speaker.npy')
         else:
             speaker = np.asarray(
                 self.speaker_index.get(speaker_dir, 0), np.int32)

@@ -82,17 +82,23 @@ def speaker(dataset, speaker_id, stems, checkpoint, dataset_metrics):
         num_frames += pitch.shape[-1]
         num_samples += pitch.shape[-1] * promonet_tpu.HOPSIZE
 
-        conditions = {'reconstructed': (None, None, None)}
+        # Edit conditions (promonet/evaluate/core.py:241-572): feature
+        # edits (shift/stretch/scale) plus synthesis-conditioning edits
+        # (spectral balance, perceptual loudness)
+        conditions = {'reconstructed': (None, None, None, 1., 1.)}
         for ratio in promonet_tpu.EVALUATION_RATIOS:
+            key = f'{int(round(100 * ratio)):03d}'
             cents = promonet_tpu.convert.ratio_to_cents(ratio)
-            conditions[f'shifted-{int(round(100 * ratio)):03d}'] = (
-                cents, None, None)
-            conditions[f'stretched-{int(round(100 * ratio)):03d}'] = (
-                None, ratio, None)
-            conditions[f'scaled-{int(round(100 * ratio)):03d}'] = (
-                None, None, promonet_tpu.convert.ratio_to_db(ratio))
+            conditions[f'shifted-{key}'] = (cents, None, None, 1., 1.)
+            conditions[f'stretched-{key}'] = (None, ratio, None, 1., 1.)
+            conditions[f'scaled-{key}'] = (
+                None, None, promonet_tpu.convert.ratio_to_db(ratio), 1., 1.)
+            conditions[f'balance-{key}'] = (None, None, None, ratio, 1.)
+            conditions[f'loudness-{key}'] = (None, None, None, 1., ratio)
 
-        for condition, (shift, stretch, scale) in conditions.items():
+        for condition, (
+            shift, stretch, scale, balance_ratio, loudness_ratio
+        ) in conditions.items():
             # Edit features (timed, promonet/evaluate/core.py:311)
             with timer.context('edit'):
                 (
@@ -116,6 +122,8 @@ def speaker(dataset, speaker_id, stems, checkpoint, dataset_metrics):
                 edit_periodicity,
                 edit_ppg,
                 speaker=speaker_index,
+                spectral_balance_ratio=balance_ratio,
+                loudness_ratio=loudness_ratio,
                 checkpoint=checkpoint)
 
             # Re-extract features from the generated audio
@@ -156,7 +164,12 @@ def _condition_metrics():
     conditions = ['reconstructed']
     for ratio in promonet_tpu.EVALUATION_RATIOS:
         key = f'{int(round(100 * ratio)):03d}'
-        conditions += [f'shifted-{key}', f'stretched-{key}', f'scaled-{key}']
+        conditions += [
+            f'shifted-{key}',
+            f'stretched-{key}',
+            f'scaled-{key}',
+            f'balance-{key}',
+            f'loudness-{key}']
     return {condition: Metrics(include_wer=False) for condition in conditions}
 
 

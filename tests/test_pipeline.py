@@ -236,7 +236,8 @@ def test_evaluate_datasets(corpus, monkeypatch):
     synthetic = results['synthetic']
     objective = synthetic['objective']
     assert set(objective) == {
-        'reconstructed', 'shifted-141', 'stretched-141', 'scaled-141'}
+        'reconstructed', 'shifted-141', 'stretched-141', 'scaled-141',
+        'balance-141', 'loudness-141'}
     for condition, values in objective.items():
         assert np.isfinite(values['pitch']), condition
         assert np.isfinite(values['ppg']), condition
@@ -270,4 +271,45 @@ def test_fused_edited_audio(corpus, monkeypatch, audio):
     # No-edit variant: output length equals input frames
     out = promonet_tpu.synthesize.from_edited_audio(np.asarray(audio))
     assert out.shape == (1, frames * promonet_tpu.HOPSIZE)
+    promonet_tpu.synthesize.core._cached_model.cache = {}
+
+
+def test_streaming_matches_offline(monkeypatch, audio):
+    """Windowed streaming output ~matches offline synthesis away from
+    chunk boundaries"""
+    monkeypatch.setattr(promonet_tpu, 'HIFIGAN_UPSAMPLE_INITIAL_SIZE', 64)
+    if hasattr(promonet_tpu.synthesize.core._cached_model, 'cache'):
+        promonet_tpu.synthesize.core._cached_model.cache = {}
+
+    loudness, pitch, periodicity, ppg = promonet_tpu.preprocess.from_audio(
+        np.asarray(audio), loudness_bands=None)
+    loudness = np.asarray(loudness)
+    pitch = np.asarray(pitch)
+    periodicity = np.asarray(periodicity)
+    ppg = np.asarray(ppg)
+    frames = pitch.shape[-1]
+
+    from promonet_tpu.synthesize.stream import Streamer
+    streamer = Streamer(speaker=0, chunk_frames=16, left_frames=8,
+                        right_frames=8)
+    chunks = []
+    step = 10  # feed in uneven pieces
+    for start in range(0, frames, step):
+        sl = slice(start, start + step)
+        chunks.append(streamer.feed(
+            loudness[:, sl], pitch[:, sl], periodicity[:, sl], ppg[:, sl]))
+    chunks.append(streamer.flush())
+    streamed = np.concatenate(chunks, axis=-1)
+    assert streamed.shape == (1, frames * promonet_tpu.HOPSIZE)
+    assert np.isfinite(streamed).all()
+    assert streamer.latency_seconds > 0
+
+    offline = promonet_tpu.synthesize.from_features(
+        loudness, pitch, periodicity, ppg, speaker=0)
+    # Same scale and strong correlation in the interior
+    interior = slice(4096, frames * 256 - 4096)
+    a = streamed[0, interior]
+    b = np.asarray(offline)[0, interior]
+    correlation = np.corrcoef(a, b)[0, 1]
+    assert correlation > 0.9, correlation
     promonet_tpu.synthesize.core._cached_model.cache = {}
