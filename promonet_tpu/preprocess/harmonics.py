@@ -37,14 +37,29 @@ def from_audio(
 
     if features == 'stft':
         frames, frequencies = stft_features(audio, sample_rate)
+    elif features == 'lpc':
+        frames, frequencies = lpc_coefficients(audio, sample_rate)
+    elif features == 'posteriorgram':
+        frames, frequencies = pitch_posteriorgram(audio, sample_rate)
     else:
         raise ValueError(
-            f'Harmonic analysis features {features} are not implemented')
+            f'Harmonic analysis features {features} are not defined')
+
+    # Observation scaling: the decode's low-frequency prior
+    # (harmonics.py:228-229) is calibrated for raw STFT magnitudes;
+    # log-scale LPC envelopes and [-1, 1] correlations need gain to
+    # compete with it (deviation from the reference, whose non-stft
+    # viterbi decodes collapse to the lowest bin)
+    observation_scale = {'stft': 1., 'lpc': 100., 'posteriorgram': 400.}
 
     if decoder == 'peak':
         harmonics = peak_pick(frames, frequencies, max_harmonics)
     elif decoder == 'viterbi':
-        harmonics = viterbi(frames, frequencies, pitch, max_harmonics)
+        harmonics = viterbi(
+            frames * observation_scale[features],
+            frequencies,
+            pitch,
+            max_harmonics)
     else:
         raise ValueError(f'Harmonic decoder {decoder} is not defined')
 
@@ -168,6 +183,133 @@ def viterbi(
 ###############################################################################
 # Analysis features
 ###############################################################################
+
+
+def _levinson_durbin(autocorrelation, order):
+    """Levinson-Durbin recursion: autocorrelation → LPC coefficients
+
+    Replaces librosa.lpc (promonet/preprocess/harmonics.py:305-330).
+    """
+    a = np.zeros(order + 1)
+    a[0] = 1.
+    error = autocorrelation[0]
+    if error <= 0:
+        return a
+    for i in range(1, order + 1):
+        acc = autocorrelation[i] + np.dot(
+            a[1:i], autocorrelation[i - 1:0:-1])
+        k = -acc / error
+        a[1:i + 1] = a[1:i + 1] + k * a[i - 1::-1][:i]
+        error *= (1. - k * k)
+        if error <= 0:
+            break
+    return a
+
+
+def lpc_coefficients(audio, sample_rate=None):
+    """LPC spectral envelopes for harmonic analysis
+
+    Reference: promonet/preprocess/harmonics.py:305-330 — Hamming-
+    windowed frames → LPC of order sr/1000 + 2 → log-magnitude of the
+    all-pole response at the analysis frequencies.
+    """
+    if sample_rate is None:
+        sample_rate = promonet_tpu.SAMPLE_RATE
+    audio = np.asarray(audio)
+
+    padding = (promonet_tpu.WINDOW_SIZE - promonet_tpu.HOPSIZE) // 2
+    padded = np.pad(
+        audio, [(0, 0)] * (audio.ndim - 1) + [(padding, padding)])
+    samples = padded[0] if padded.ndim == 2 else padded
+    num_frames = 1 + (
+        (samples.shape[-1] - promonet_tpu.WINDOW_SIZE) //
+        promonet_tpu.HOPSIZE)
+    window = np.hamming(promonet_tpu.WINDOW_SIZE)
+    order = int(sample_rate / 1000) + 2
+
+    # Analysis frequencies (harmonics.py:318-320)
+    frequencies = sample_rate * np.linspace(0., 1., promonet_tpu.NUM_FFT)
+    frequencies = frequencies[:len(frequencies) // 2]
+
+    result = np.empty((num_frames, len(frequencies)), np.float32)
+    for i in range(num_frames):
+        start = i * promonet_tpu.HOPSIZE
+        frame = samples[start:start + promonet_tpu.WINDOW_SIZE] * window
+        # Autocorrelation method LPC
+        spectrum = np.fft.rfft(frame, 2 * promonet_tpu.WINDOW_SIZE)
+        autocorrelation = np.fft.irfft(np.abs(spectrum) ** 2)[:order + 1]
+        a = _levinson_durbin(autocorrelation, order)
+        _, h = scipy.signal.freqz([1], a, worN=len(frequencies))
+        result[i] = np.log10(np.abs(h) + 1e-12)
+
+    # Crop below FMIN so the DC pole cannot absorb the decode (the stft
+    # path crops identically, harmonics.py:425-428)
+    minidx = int(np.searchsorted(frequencies, promonet_tpu.FMIN))
+    return (
+        jnp.asarray(result[:, minidx:]),
+        jnp.asarray(frequencies[minidx:], dtype=jnp.float32))
+
+
+def pitch_posteriorgram(audio, sample_rate=None, fmin=50., fmax=1600.):
+    """Pitch posteriors over an extended range for harmonic analysis
+
+    Reference: promonet/preprocess/harmonics.py:333-360 (penn posteriors
+    masked to [50, 1600] Hz); here the NCC front-end runs over the
+    extended candidate range.
+    """
+    from . import pitch as pitch_module
+
+    if sample_rate is None:
+        sample_rate = promonet_tpu.SAMPLE_RATE
+    audio = np.asarray(audio)
+
+    freqs = pitch_module.candidate_frequencies(fmin, fmax, 512)
+
+    # NCC over the extended range: reuse the front-end with a widened
+    # candidate table by temporarily overriding the module constants
+    import jax
+    samples = jnp.asarray(audio)
+    ncc = _ncc_over(samples, sample_rate, promonet_tpu.HOPSIZE, freqs)
+    return ncc, jnp.asarray(freqs)
+
+
+def _ncc_over(audio, sample_rate, hopsize, freqs):
+    """NCC posteriorgram over an arbitrary candidate frequency table"""
+    from . import pitch as pitch_module
+    import jax
+
+    window = pitch_module.WINDOW
+    max_lag = int(np.ceil(sample_rate / freqs[0])) + 1
+    context = window + max_lag
+    samples = audio[0]
+    num_frames = samples.shape[-1] // hopsize
+    centers = (np.arange(num_frames) + 0.5) * hopsize
+    starts = np.round(centers - context / 2).astype(np.int64)
+    pad_left = max(0, -int(starts.min()))
+    pad_right = max(0, int(starts.max()) + context - samples.shape[-1])
+    padded = jnp.pad(samples, (pad_left, pad_right))
+    idx = (starts + pad_left)[:, None] + np.arange(context)[None, :]
+    frames = padded[idx]
+    frames = frames - frames.mean(axis=-1, keepdims=True)
+
+    n_fft = int(2 ** np.ceil(np.log2(context + window)))
+    head = frames[:, :window]
+    corr = jnp.fft.irfft(
+        jnp.conj(jnp.fft.rfft(head, n=n_fft)) *
+        jnp.fft.rfft(frames, n=n_fft),
+        n=n_fft)[:, :max_lag + 1]
+    sq = frames * frames
+    cumsum = jnp.cumsum(jnp.pad(sq, ((0, 0), (1, 0))), axis=-1)
+    tau = np.arange(max_lag + 1)
+    energy = cumsum[:, tau + window] - cumsum[:, tau]
+    ncc = corr / jnp.sqrt(energy[:, 0:1] * energy + 1e-9)
+
+    lags = sample_rate / freqs
+    lag_left = np.floor(lags).astype(np.int32)
+    lag_frac = jnp.asarray(lags - lag_left, dtype=ncc.dtype)
+    left = ncc[:, lag_left]
+    right = ncc[:, np.minimum(lag_left + 1, max_lag)]
+    return left * (1 - lag_frac) + right * lag_frac
 
 
 def highpass_biquad(audio, sample_rate, cutoff, q=0.707):
