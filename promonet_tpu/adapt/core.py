@@ -4,10 +4,6 @@ Reference: promonet/adapt/core.py — cache the new speaker's audio,
 augment, preprocess, partition, then continue training from a base
 checkpoint for ADAPTATION_STEPS.
 """
-from pathlib import Path
-
-import numpy as np
-
 import promonet_tpu
 
 

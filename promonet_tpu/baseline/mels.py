@@ -3,8 +3,6 @@
 Reference: promonet/baseline/mels.py (MelGenerator-based with the same
 model-cache idiom as synthesis).
 """
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

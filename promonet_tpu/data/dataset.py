@@ -8,7 +8,6 @@ training-time random fixed-size chunks (static shapes for XLA), and
 zero-shot speaker embeddings.
 """
 import json
-from pathlib import Path
 
 import numpy as np
 

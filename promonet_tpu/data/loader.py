@@ -13,7 +13,7 @@ import numpy as np
 
 import promonet_tpu
 from .collate import collate
-from .dataset import Dataset, random_chunk
+from .dataset import Dataset
 from .sampler import Sampler
 
 

@@ -9,7 +9,7 @@ actual feature resampling is vectorized JAX.
 import functools
 import math
 import os
-from typing import List, Optional, Tuple, Union
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,6 @@ feature extractors and scored with the Metrics bundle; generation speed is
 reported as a real-time factor (evaluate/core.py:125-129).
 """
 import json
-from pathlib import Path
 
 import numpy as np
 

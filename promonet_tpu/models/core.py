@@ -7,7 +7,7 @@ loop.
 import jax
 import jax.numpy as jnp
 
-from .modules import get_padding  # re-export (promonet/model/core.py:9-11)
+from .modules import get_padding  # noqa: F401 — re-export (promonet/model/core.py:9-11)
 
 
 def slice_segments(segments, start_indices, segment_size, fill_value=0.):

@@ -36,10 +36,11 @@ class Discriminator(nn.Module):
     complex_multiband: bool = True
     fargan: bool = False
     lrelu_slope: float = 0.1
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
-    def create(cls, dtype=None):
+    def create(cls, dtype=None, remat=False):
         if dtype is None:
             dtype = (
                 jnp.bfloat16 if promonet_tpu.PRECISION == 'bfloat16'
@@ -51,28 +52,35 @@ class Discriminator(nn.Module):
             complex_multiband=promonet_tpu.COMPLEX_MULTIBAND_DISCRIMINATOR,
             fargan=promonet_tpu.FARGAN_DISCRIMINATOR,
             lrelu_slope=promonet_tpu.LRELU_SLOPE,
+            remat=remat,
             dtype=dtype)
 
     def setup(self):
+        # With remat, each sub-discriminator recomputes activations in
+        # the backward pass (feature maps at full batch do not fit HBM)
+        wrap = nn.remat if self.remat else (lambda cls: cls)
+        d_p = wrap(DiscriminatorP)
+        d_s = wrap(DiscriminatorS)
+        d_r = wrap(DiscriminatorR)
+        d_cmb = wrap(DiscriminatorCMB)
+        d_mf = wrap(DiscriminatorMagFree)
         discriminators = []
         if self.multi_period:
             discriminators += [
-                DiscriminatorP(
-                    period=p, lrelu_slope=self.lrelu_slope, dtype=self.dtype)
+                d_p(period=p, lrelu_slope=self.lrelu_slope, dtype=self.dtype)
                 for p in (2, 3, 5, 7, 11)]
         if self.multi_scale:
             discriminators.append(
-                DiscriminatorS(lrelu_slope=self.lrelu_slope, dtype=self.dtype))
+                d_s(lrelu_slope=self.lrelu_slope, dtype=self.dtype))
         if self.multi_resolution:
             discriminators += [
-                DiscriminatorR(resolution=r, dtype=self.dtype)
+                d_r(resolution=r, dtype=self.dtype)
                 for r in ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240))]
         if self.complex_multiband:
-            discriminators.append(DiscriminatorCMB(dtype=self.dtype))
+            discriminators.append(d_cmb(dtype=self.dtype))
         if self.fargan:
             discriminators += [
-                DiscriminatorMagFree(
-                    resolution=(n, n // 4, n), dtype=self.dtype)
+                d_mf(resolution=(n, n // 4, n), dtype=self.dtype)
                 for n in (64, 128, 256, 512, 1024, 2048)]
         self.discriminators = discriminators
 

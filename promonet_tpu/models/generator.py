@@ -53,6 +53,7 @@ class BaseGenerator(nn.Module):
     zero_shot: bool
     augment_pitch: bool
     augment_loudness: bool
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -68,6 +69,7 @@ class BaseGenerator(nn.Module):
                     tuple(d) for d in
                     promonet_tpu.HIFIGAN_RESBLOCK_DILATION_SIZES),
                 lrelu_slope=promonet_tpu.LRELU_SLOPE,
+                remat=self.remat,
                 dtype=self.dtype)
         elif self.model == 'vocos':
             self.backbone = Vocos(
@@ -131,7 +133,7 @@ class Generator(BaseGenerator):
     sparse_ppg_threshold: float = 0.85
 
     @classmethod
-    def create(cls, dtype=None):
+    def create(cls, dtype=None, remat=False):
         """Construct from the active configuration"""
         import promonet_tpu.load
         if dtype is None:
@@ -160,6 +162,7 @@ class Generator(BaseGenerator):
             loudness_bands=promonet_tpu.LOUDNESS_BANDS,
             sparse_ppg_method=promonet_tpu.SPARSE_PPG_METHOD,
             sparse_ppg_threshold=promonet_tpu.SPARSE_PPG_THRESHOLD,
+            remat=remat,
             dtype=dtype)
 
     def setup(self):
@@ -266,7 +269,7 @@ class MelGenerator(BaseGenerator):
     sparse_mels: bool = False
 
     @classmethod
-    def create(cls, dtype=None):
+    def create(cls, dtype=None, remat=False):
         if dtype is None:
             dtype = (
                 jnp.bfloat16 if promonet_tpu.PRECISION == 'bfloat16'
@@ -281,6 +284,7 @@ class MelGenerator(BaseGenerator):
             augment_pitch=promonet_tpu.AUGMENT_PITCH,
             augment_loudness=promonet_tpu.AUGMENT_LOUDNESS,
             sparse_mels=promonet_tpu.SPARSE_MELS,
+            remat=remat,
             dtype=dtype)
 
     def __call__(

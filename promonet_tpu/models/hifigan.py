@@ -51,21 +51,28 @@ class Block(nn.Module):
 
 
 class ResidualBlock(nn.Module):
-    """Average of parallel dilated blocks (promonet/model/hifigan.py:128-145)"""
+    """Average of parallel dilated blocks (promonet/model/hifigan.py:128-145)
+
+    With `remat`, each dilated block recomputes its activations in the
+    backward pass (jax.checkpoint) — full-batch training at the
+    reference budget (64 × 16384 samples) does not fit HBM otherwise.
+    """
 
     channels: int
     kernel_sizes: Sequence[int]
     dilation_sizes: Sequence[Sequence[int]]
     lrelu_slope: float
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        block = nn.remat(Block) if self.remat else Block
         total = None
         for kernel_size, dilations in zip(
             self.kernel_sizes, self.dilation_sizes
         ):
-            out = Block(
+            out = block(
                 self.channels,
                 kernel_size,
                 dilations,
@@ -87,6 +94,7 @@ class MultiReceptiveFieldFusion(nn.Module):
     resblock_kernel_sizes: Sequence[int]
     resblock_dilation_sizes: Sequence[Sequence[int]]
     lrelu_slope: float
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -103,6 +111,7 @@ class MultiReceptiveFieldFusion(nn.Module):
             self.resblock_kernel_sizes,
             self.resblock_dilation_sizes,
             self.lrelu_slope,
+            remat=self.remat,
             dtype=self.dtype)(x)
 
 
@@ -119,6 +128,7 @@ class HiFiGAN(nn.Module):
     resblock_dilation_sizes: Sequence[Sequence[int]] = (
         (1, 3, 5), (1, 3, 5), (1, 3, 5))
     lrelu_slope: float = 0.1
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -152,6 +162,7 @@ class HiFiGAN(nn.Module):
                 self.resblock_kernel_sizes,
                 self.resblock_dilation_sizes,
                 self.lrelu_slope,
+                remat=self.remat,
                 dtype=self.dtype)(x)
 
         # Output layer

@@ -11,8 +11,6 @@ in-kernel with a reverse loop — no host round-trips (the remote-dispatch
 latency of a chained scan would otherwise dominate). A pure-JAX
 `lax.scan` fallback serves CPU tests and large state spaces.
 """
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

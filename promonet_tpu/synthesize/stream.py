@@ -9,8 +9,6 @@ chunk's samples, so the convolutional receptive field sees real context
 on both sides. Emission latency is `right` frames
 (right * HOPSIZE / SAMPLE_RATE seconds).
 """
-import functools
-
 import jax
 import numpy as np
 

@@ -178,10 +178,10 @@ def example_batch(batch_size=1, frames=None):
     }
 
 
-def generator_module():
+def generator_module(remat=False):
     if promonet_tpu.SPECTROGRAM_ONLY:
-        return promonet_tpu.models.MelGenerator.create()
-    return promonet_tpu.models.Generator.create()
+        return promonet_tpu.models.MelGenerator.create(remat=remat)
+    return promonet_tpu.models.Generator.create(remat=remat)
 
 
 def generator_args(batch, slice_frames=0):
@@ -216,8 +216,8 @@ def previous_samples_of(batch):
 
 def create_state(rng):
     """Initialize generator/discriminator parameters and optimizer state"""
-    generator = generator_module()
-    discriminators = promonet_tpu.models.Discriminator.create()
+    generator = generator_module(remat=True)
+    discriminators = promonet_tpu.models.Discriminator.create(remat=True)
 
     batch = example_batch()
     g_rng, d_rng, noise_rng = jax.random.split(rng, 3)
@@ -310,8 +310,10 @@ def make_train_step(discriminate=None, adversarial=None):
     if adversarial is None:
         adversarial = promonet_tpu.ADVERSARIAL_LOSS_START_STEP == 0
 
-    generator = generator_module()
-    discriminators = promonet_tpu.models.Discriminator.create()
+    # Rematerialized variants: full-batch GAN training does not fit HBM
+    # storing every conv activation for the backward pass
+    generator = generator_module(remat=True)
+    discriminators = promonet_tpu.models.Discriminator.create(remat=True)
     g_optimizer = build_optimizer()
     d_optimizer = build_optimizer()
     loss = loss_module
@@ -339,6 +341,11 @@ def make_train_step(discriminate=None, adversarial=None):
             return generated
 
         generated, g_vjp = jax.vjp(forward, state['generator']['params'])
+        # Fusion barrier: without it, XLA's TPU fusion pass crashes
+        # combining the generator's output window ops with downstream
+        # discriminator/mel consumers at full batch (fusion_util.cc
+        # TransformWindow check failure). Gradients pass through.
+        generated = jax.lax.optimization_barrier(generated)
 
         metrics = {}
 
