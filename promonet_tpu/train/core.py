@@ -87,7 +87,17 @@ def train(
     else:
         step, epoch = 0, 0
 
-    step_fn = make_train_step()
+    # Loss-warmup gating (promonet/train/core.py:236,264) is static in
+    # the compiled step; rebuild the step function at each boundary
+    def step_fn_for(step):
+        return make_train_step(
+            discriminate=step >= promonet_tpu.DISCRIMINATOR_START_STEP,
+            adversarial=step >= promonet_tpu.ADVERSARIAL_LOSS_START_STEP)
+
+    boundaries = sorted({
+        promonet_tpu.DISCRIMINATOR_START_STEP,
+        promonet_tpu.ADVERSARIAL_LOSS_START_STEP})
+    step_fn = step_fn_for(step)
     rng = jax.random.PRNGKey(promonet_tpu.RANDOM_SEED + 1)
 
     while step < steps:
@@ -97,6 +107,9 @@ def train(
             # Skip examples that are too short (promonet/train/core.py:154)
             if batch['audio'].shape[-1] < promonet_tpu.CHUNK_SIZE:
                 continue
+
+            if step in boundaries:
+                step_fn = step_fn_for(step)
 
             batch = promonet_tpu.parallel.shard_batch(batch, mesh)
             rng, step_rng = jax.random.split(rng)

@@ -209,3 +209,16 @@ def test_viterbi_interpret_kernel_matches_scan():
             obs, trans, init, use_pallas=True)
     np.testing.assert_array_equal(
         np.asarray(scan_path), np.asarray(kernel_path))
+
+
+def test_masked_interp():
+    """Linear interpolation through masked regions (unvoiced pitch)"""
+    values = jnp.asarray([1., 99., 99., 4., 99., 6.])
+    mask = jnp.asarray([True, False, False, True, False, True])
+    out = np.asarray(ops.grid.masked_interp(values, mask))
+    np.testing.assert_allclose(out, [1., 2., 3., 4., 5., 6.], atol=1e-5)
+    # Edges extrapolate to the nearest anchor
+    mask = jnp.asarray([False, True, True, False, False, False])
+    values = jnp.asarray([99., 2., 4., 99., 99., 99.])
+    out = np.asarray(ops.grid.masked_interp(values, mask))
+    np.testing.assert_allclose(out, [2., 2., 4., 4., 4., 4.], atol=1e-5)
