@@ -10,6 +10,7 @@ vs_baseline is the ratio against the 50x-RT-per-chip north star (the
 reference publishes no numbers; BASELINE.md).
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -61,7 +62,7 @@ def main():
     from promonet_tpu.utils import timer
     timer.reset()
     runs = []
-    for _ in range(3):
+    for _ in range(5):
         start = time.perf_counter()
         with timer.context('e2e', synchronize=False):
             out = run_pipeline(promonet_tpu, audio)
@@ -69,7 +70,7 @@ def main():
     wall = min(runs)
     rtf = seconds / wall
     breakdown = {
-        name: round(seconds_ / 3, 4)
+        name: round(seconds_ / 5, 4)
         for name, seconds_ in timer.results().items()}
 
     # Synthesis-only (hot loop) for the breakdown
@@ -100,6 +101,28 @@ def main():
         fused_runs.append(time.perf_counter() - start)
     fused_rtf = seconds / min(fused_runs)
 
+    train_step_ms = None
+    if os.environ.get('PROMONET_BENCH_TRAIN', '1') != '0':
+        try:
+            import jax as _jax
+            from promonet_tpu.train.core import (
+                create_state, example_batch, make_train_step)
+            batch = example_batch(promonet_tpu.BATCH_SIZE)
+            state = create_state(_jax.random.PRNGKey(0))
+            step_fn = make_train_step()
+            rng = _jax.random.PRNGKey(1)
+            state, _ = step_fn(state, batch, rng)
+            _jax.block_until_ready(_jax.tree.leaves(state)[0])
+            steps = []
+            for _ in range(5):
+                start = time.perf_counter()
+                state, _ = step_fn(state, batch, rng)
+                _jax.block_until_ready(_jax.tree.leaves(state)[0])
+                steps.append(time.perf_counter() - start)
+            train_step_ms = round(min(steps) * 1000, 1)
+        except Exception:
+            train_step_ms = None
+
     rtf = max(rtf, fused_rtf)
     print(json.dumps({
         'metric': 'e2e_edit_rtf',
@@ -112,6 +135,7 @@ def main():
         'backend': jax.default_backend(),
         'audio_seconds': seconds,
         'wall_seconds': round(wall, 4),
+        'train_step_ms': train_step_ms,
         'breakdown': breakdown,
     }))
 

@@ -69,15 +69,19 @@ class ResidualBlock(nn.Module):
     def __call__(self, x):
         block = nn.remat(Block) if self.remat else Block
         total = None
-        for kernel_size, dilations in zip(
+        for i, (kernel_size, dilations) in enumerate(zip(
             self.kernel_sizes, self.dilation_sizes
-        ):
+        )):
+            # Explicit names keep the parameter tree identical between
+            # the remat (training) and plain (inference) variants —
+            # flax would otherwise auto-name by wrapper class
             out = block(
                 self.channels,
                 kernel_size,
                 dilations,
                 self.lrelu_slope,
-                dtype=self.dtype)(x)
+                dtype=self.dtype,
+                name=f'Block_{i}')(x)
             total = out if total is None else total + out
         return total / len(self.kernel_sizes)
 
