@@ -87,10 +87,10 @@ def datasets(datasets=None):
         cache = promonet_tpu.CACHE_DIR / name
         if not cache.exists():
             continue
+        # Only augment originals (suffix -100); skip prior augmentations
+        # ('-p<ratio>' / '-l<ratio>' suffixes)
         wavs = sorted(
-            w for w in cache.glob('*/*.wav')
-            if '-p' not in w.stem.split('-')[-1] and
-            '-l' not in w.stem.split('-')[-1])
+            w for w in cache.glob('*/*.wav') if w.stem.endswith('-100'))
         for kind in ('pitch', 'loudness'):
             if kind == 'pitch' and not promonet_tpu.AUGMENT_PITCH:
                 continue

@@ -55,9 +55,10 @@ class Dataset:
                 continue
             with open(file) as f:
                 ratios = json.load(f)
-            key = stem.split('-')[0] if '-' in stem else stem
-            if key in ratios:
-                stems.append(f'{stem}-{prefix}{ratios[key]}')
+            # Ratio JSONs are keyed by the full original stem
+            # (data/augment/core.py writes '<speaker>/<utt>-100')
+            if stem in ratios:
+                stems.append(f'{stem}-{prefix}{ratios[stem]}')
         return stems
 
     def _is_hum(self, stem):

@@ -82,8 +82,7 @@ def train(
     latest = promonet_tpu.utils.checkpoint.latest_path(directory)
     source = latest if latest is not None else adapt_from
     if source is not None:
-        state, resumed_step, epoch = load_checkpoint(directory, state, source)
-        step = resumed_step if latest is not None else resumed_step
+        state, step, epoch = load_checkpoint(directory, state, source)
     else:
         step, epoch = 0, 0
 

@@ -59,6 +59,21 @@ def rtf(num_samples, sample_rate, phases=None):
         for name, seconds in timings.items()}
 
 
+@contextlib.contextmanager
+def profile(directory):
+    """Capture a device profile for the enclosed region
+
+    TPU equivalent of the reference's profiling hooks (SURVEY.md §5.1):
+    writes a Perfetto/TensorBoard-compatible trace under `directory`
+    (inspect with TensorBoard's profile plugin or ui.perfetto.dev).
+    """
+    jax.profiler.start_trace(str(directory))
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
 def _block_on_device():
     try:
         (jax.device_put(0.) + 0).block_until_ready()

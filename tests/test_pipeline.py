@@ -79,6 +79,20 @@ def test_augmentation(corpus, monkeypatch):
             assert wav.exists()
             assert 50 <= ratio <= 200
 
+    # After (re-)preprocessing, augmented variants join the training set
+    # (promonet/data/dataset.py:34-48)
+    promonet_tpu.data.preprocess.datasets(['synthetic'])
+    dataset = promonet_tpu.data.Dataset('synthetic', 'train')
+    originals = [s for s in dataset.stems if s.endswith('-100')]
+    augmented = [s for s in dataset.stems if not s.endswith('-100')]
+    assert len(augmented) == 2 * len(originals), dataset.stems
+    # Augmented items load, with ratios parsed from the stem suffix
+    index = dataset.stems.index(augmented[0])
+    item = dataset[index]
+    assert (
+        float(item['spectral_balance_ratios']) != 1. or
+        float(item['loudness_ratios']) != 1.)
+
 
 def test_partition(corpus):
     partition = promonet_tpu.partition.dataset('synthetic')
