@@ -20,13 +20,16 @@ over a `jax.sharding.Mesh`. Configuration follows the reference's
 
 # Persist compiled XLA programs across processes: model/extractor
 # compiles are tens of seconds on TPU, and every CLI entry point is a
-# fresh process. Opt out with PROMONET_TPU_COMPILATION_CACHE=''.
+# fresh process. TPU-only — CPU AOT artifacts are machine-feature
+# specific and can SIGILL when reused across hosts. Opt out with
+# PROMONET_TPU_COMPILATION_CACHE=''.
 import os as _os
 
 _cache_dir = _os.environ.get(
     'PROMONET_TPU_COMPILATION_CACHE',
     _os.path.expanduser('~/.cache/promonet_tpu/xla'))
-if _cache_dir:
+_on_cpu = _os.environ.get('JAX_PLATFORMS', '').startswith('cpu')
+if _cache_dir and not _on_cpu:
     import jax as _jax
     _jax.config.update('jax_compilation_cache_dir', _cache_dir)
     _jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)

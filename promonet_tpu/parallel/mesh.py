@@ -79,3 +79,42 @@ def shard_pytree(pytree, mesh):
     sharding = replicated_sharding(mesh)
     return jax.tree.map(
         lambda x: jax.device_put(x, sharding), pytree)
+
+
+def parameter_shardings(params, mesh, axis='model', min_size=64):
+    """Tensor-parallel shardings for model parameters
+
+    At these model sizes (~15-30M params) data parallelism alone is the
+    right default (SURVEY.md §2.9); when a 'model' axis exists, wide
+    convolution kernels shard their output-channel axis across it and
+    XLA GSPMD inserts the matching all-gathers/reduce-scatters. Returns
+    a pytree of NamedShardings aligned with `params`.
+
+    Arguments
+        params: parameter pytree
+        mesh: a Mesh that includes `axis`
+        min_size: smallest channel dimension worth sharding
+    """
+    if axis not in mesh.axis_names:
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+    size = mesh.shape[axis]
+
+    def spec_for(leaf):
+        # Conv kernels are (k, in, out) / (kh, kw, in, out); dense are
+        # (in, out). Shard the trailing (output-feature) axis when it
+        # divides the axis size and is large enough to matter.
+        if (
+            hasattr(leaf, 'ndim') and leaf.ndim >= 2 and
+            leaf.shape[-1] >= min_size and leaf.shape[-1] % size == 0
+        ):
+            return NamedSharding(
+                mesh, P(*([None] * (leaf.ndim - 1) + [axis])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec_for, params)
+
+
+def shard_parameters(params, mesh, axis='model', min_size=64):
+    """Place parameters with tensor-parallel shardings"""
+    shardings = parameter_shardings(params, mesh, axis, min_size)
+    return jax.tree.map(jax.device_put, params, shardings)

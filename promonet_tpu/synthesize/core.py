@@ -144,6 +144,8 @@ def from_edited_audio(
     pitch_shift_cents=None,
     time_stretch_ratio=None,
     loudness_scale_db=None,
+    stretch_unvoiced=True,
+    stretch_silence=True,
     speaker=0,
     spectral_balance_ratio=1.,
     loudness_ratio=1.,
@@ -159,8 +161,9 @@ def from_edited_audio(
     so different shifts/stretches/scales reuse the compiled program.
     This is the >50x-realtime end-to-end editing path.
 
-    Constant-ratio time-stretch only (the PPG-aware selective stretch
-    needs a host-computed grid; use the 3-call API for that).
+    The PPG-aware selective stretch (stretch_unvoiced/stretch_silence
+    False) needs the PPG on the host to build its variable-rate grid,
+    so that variant falls back to the 3-call pipeline.
     """
     from ..preprocess import core as preprocess_core
 
@@ -170,6 +173,26 @@ def from_edited_audio(
     if sample_rate != promonet_tpu.SAMPLE_RATE:
         audio = promonet_tpu.utils.audio.resample(
             audio, sample_rate, promonet_tpu.SAMPLE_RATE)
+
+    # Selective stretch: grid depends on PPG content — 3-call pipeline
+    if time_stretch_ratio is not None and not (
+        stretch_unvoiced and stretch_silence
+    ):
+        features = promonet_tpu.preprocess.from_audio(
+            audio, loudness_bands=None)
+        edited = promonet_tpu.edit.from_features(
+            *features,
+            pitch_shift_cents=pitch_shift_cents,
+            time_stretch_ratio=time_stretch_ratio,
+            loudness_scale_db=loudness_scale_db,
+            stretch_unvoiced=stretch_unvoiced,
+            stretch_silence=stretch_silence)
+        return from_features(
+            *edited,
+            speaker=speaker,
+            spectral_balance_ratio=spectral_balance_ratio,
+            loudness_ratio=loudness_ratio,
+            checkpoint=checkpoint)
 
     hopsize = promonet_tpu.HOPSIZE
     frames = audio.shape[-1] // hopsize
