@@ -76,6 +76,14 @@ def speaker(dataset, speaker_id, stems, checkpoint, dataset_metrics):
     data = promonet_tpu.data.Dataset(dataset, 'test')
     speaker_index = data.speaker_index.get(speaker_id, 0)
 
+    # Baseline configs route synthesis through their own vocoder
+    # (promonet/evaluate/core.py:241-296): 'world' supports the edit
+    # conditions via grid/pitch substitution; 'mels' reconstructs only
+    baseline_model = (
+        'world' if promonet_tpu.MODEL == 'world'
+        else 'mels' if promonet_tpu.SPECTROGRAM_ONLY
+        else None)
+
     for stem in stems:
         loudness, pitch, periodicity, ppg = _load_features(cache, stem)
         num_frames += pitch.shape[-1]
@@ -98,13 +106,17 @@ def speaker(dataset, speaker_id, stems, checkpoint, dataset_metrics):
         for condition, (
             shift, stretch, scale, balance_ratio, loudness_ratio
         ) in conditions.items():
+            if baseline_model == 'mels' and condition != 'reconstructed':
+                continue
+
             # Edit features (timed, promonet/evaluate/core.py:311)
             with timer.context('edit'):
                 (
                     edit_loudness,
                     edit_pitch,
                     edit_periodicity,
-                    edit_ppg
+                    edit_ppg,
+                    grid
                 ) = promonet_tpu.edit.from_features(
                     loudness,
                     pitch,
@@ -112,18 +124,34 @@ def speaker(dataset, speaker_id, stems, checkpoint, dataset_metrics):
                     ppg,
                     pitch_shift_cents=shift,
                     time_stretch_ratio=stretch,
-                    loudness_scale_db=scale)
+                    loudness_scale_db=scale,
+                    return_grid=True)
 
             # Synthesize (timed inside generate)
-            generated = promonet_tpu.synthesize.from_features(
-                edit_loudness,
-                edit_pitch,
-                edit_periodicity,
-                edit_ppg,
-                speaker=speaker_index,
-                spectral_balance_ratio=balance_ratio,
-                loudness_ratio=loudness_ratio,
-                checkpoint=checkpoint)
+            if baseline_model == 'world':
+                with timer.context('generate'):
+                    generated = promonet_tpu.baseline.world.from_audio(
+                        promonet_tpu.load.audio(cache / f'{stem}.wav'),
+                        grid=np.asarray(grid) if grid is not None else None,
+                        pitch=np.asarray(edit_pitch))
+            elif baseline_model == 'mels':
+                with timer.context('generate'):
+                    spectrogram = promonet_tpu.load.array(
+                        cache / f'{stem}-spectrogram.npy')
+                    generated = promonet_tpu.baseline.mels.from_features(
+                        spectrogram,
+                        speaker=speaker_index,
+                        checkpoint=checkpoint)
+            else:
+                generated = promonet_tpu.synthesize.from_features(
+                    edit_loudness,
+                    edit_pitch,
+                    edit_periodicity,
+                    edit_ppg,
+                    speaker=speaker_index,
+                    spectral_balance_ratio=balance_ratio,
+                    loudness_ratio=loudness_ratio,
+                    checkpoint=checkpoint)
 
             # Re-extract features from the generated audio
             # (promonet/evaluate/core.py:578-596)

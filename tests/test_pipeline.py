@@ -327,3 +327,13 @@ def test_streaming_matches_offline(monkeypatch, audio):
     correlation = np.corrcoef(a, b)[0, 1]
     assert correlation > 0.9, correlation
     promonet_tpu.synthesize.core._cached_model.cache = {}
+
+
+def test_evaluate_world_baseline(corpus, monkeypatch):
+    """Evaluation harness dispatches through the WORLD baseline"""
+    monkeypatch.setattr(promonet_tpu, 'MODEL', 'world')
+    monkeypatch.setattr(promonet_tpu, 'EVALUATION_RATIOS', [1.414])
+    results = promonet_tpu.evaluate.datasets(['synthetic'], max_stems=1)
+    objective = results['synthetic']['objective']
+    assert np.isfinite(objective['reconstructed']['pitch'])
+    assert np.isfinite(objective['stretched-141']['pitch'])
