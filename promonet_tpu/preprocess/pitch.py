@@ -137,10 +137,13 @@ class PitchCNN:
 
     def __init__(self):
         self.module = self.Model()
+        self.voicing_threshold = None
         checkpoint = promonet_tpu.ASSETS_DIR / 'checkpoints' / 'pitch'
         if checkpoint.exists():
-            self.params = promonet_tpu.utils.checkpoint.load(
-                checkpoint)['params']
+            payload = promonet_tpu.utils.checkpoint.load(checkpoint)
+            self.params = payload['params']
+            if 'voicing_threshold' in payload:
+                self.voicing_threshold = float(payload['voicing_threshold'])
         else:
             self.params = self.module.init(
                 jax.random.PRNGKey(0), jnp.zeros((1, self.FRAME_SIZE)))
@@ -171,25 +174,60 @@ class PitchCNN:
 
 
 def _front_end(audio, sample_rate, hopsize):
-    """Select the configured posteriorgram front-end"""
+    """Select the configured posteriorgram front-end
+
+    Returns (scores, kind): NCC correlations in [-1, 1] for 'dsp',
+    classifier logits for 'cnn' — _decode normalizes each to a proper
+    observation distribution.
+    """
     if promonet_tpu.PITCH_ESTIMATOR == 'cnn':
-        return PitchCNN.instance().posteriorgram(audio, sample_rate, hopsize)
-    return posteriorgram(audio, sample_rate, hopsize)
+        scores = PitchCNN.instance().posteriorgram(
+            audio, sample_rate, hopsize)
+        return scores, 'cnn'
+    return posteriorgram(audio, sample_rate, hopsize), 'dsp'
 
 
-def _decode(ncc, decoder):
+def _decode(scores, decoder, kind='dsp'):
     freqs = jnp.asarray(candidate_frequencies())
+    # Observation log-distribution: NCC values need sharpening to act
+    # like log-probabilities; CNN logits are already calibrated by the
+    # cross-entropy objective
+    logits = SOFTMAX_SCALE * scores if kind == 'dsp' else scores
     if decoder == 'viterbi':
-        observation = jax.nn.log_softmax(SOFTMAX_SCALE * ncc, axis=-1)
+        observation = jax.nn.log_softmax(logits, axis=-1)
         transition = viterbi_ops.triangular_transition(
-            ncc.shape[-1], TRANSITION_WIDTH)
-        initial = jnp.full((ncc.shape[-1],), -jnp.log(ncc.shape[-1]))
+            scores.shape[-1], TRANSITION_WIDTH)
+        initial = jnp.full((scores.shape[-1],), -jnp.log(scores.shape[-1]))
         bins = viterbi_ops.decode(observation, transition, initial)
     else:
-        bins = jnp.argmax(ncc, axis=-1)
-    pitch = freqs[bins]
-    periodicity = jnp.clip(
-        jnp.take_along_axis(ncc, bins[:, None], axis=-1)[:, 0], 0., 1.)
+        bins = jnp.argmax(scores, axis=-1)
+
+    # Sub-bin refinement: the 256 log-spaced bins quantize pitch to
+    # ~16 cents; take the local expected value of the observation
+    # posterior in log-frequency around the decoded bin (penn's
+    # "local expected value" decoding), recovering sub-bin precision
+    # without changing the decoded path
+    window = 4
+    offsets = jnp.arange(-window, window + 1)
+    neighbor_bins = jnp.clip(
+        bins[:, None] + offsets[None, :], 0, scores.shape[-1] - 1)
+    neighbor_scores = jnp.take_along_axis(logits, neighbor_bins, axis=-1)
+    weights = jax.nn.softmax(neighbor_scores, axis=-1)
+    log_freqs = jnp.log(freqs)
+    refined_log = jnp.sum(weights * log_freqs[neighbor_bins], axis=-1)
+    pitch = jnp.exp(refined_log)
+
+    if kind == 'cnn':
+        # Periodicity = posterior mass at the decoded bin (penn-style);
+        # voicing confidence of a calibrated classifier
+        posterior = jax.nn.softmax(logits, axis=-1)
+        periodicity = jnp.take_along_axis(
+            posterior, bins[:, None], axis=-1)[:, 0]
+    else:
+        # Periodicity = normalized autocorrelation at the decoded lag
+        periodicity = jnp.clip(
+            jnp.take_along_axis(scores, bins[:, None], axis=-1)[:, 0],
+            0., 1.)
     return pitch, periodicity
 
 
@@ -198,8 +236,8 @@ def _decode(ncc, decoder):
     static_argnames=('sample_rate', 'hopsize', 'decoder', 'interp_at'))
 def _from_audio_jit(audio, sample_rate, hopsize, decoder, interp_at):
     """Full device-resident pitch extraction: front-end → decode → interp"""
-    ncc = _front_end(audio, sample_rate, hopsize)
-    pitch, periodicity = _decode(ncc, decoder)
+    scores, kind = _front_end(audio, sample_rate, hopsize)
+    pitch, periodicity = _decode(scores, decoder, kind)
     if interp_at is not None:
         # Interpolate pitch through unvoiced regions in log space
         # (penn interp_unvoiced_at semantics), with static shapes
@@ -237,6 +275,12 @@ def from_audio(
             'viterbi' if promonet_tpu.VITERBI_DECODE_PITCH else 'argmax')
     if interp_unvoiced_at == 'default':
         interp_unvoiced_at = promonet_tpu.VOICING_THRESHOLD
+        if promonet_tpu.PITCH_ESTIMATOR == 'cnn':
+            # CNN periodicity is posterior mass, not correlation; use
+            # the threshold calibrated on held-out data at train time
+            calibrated = PitchCNN.instance().voicing_threshold
+            if calibrated is not None:
+                interp_unvoiced_at = calibrated
     return _from_audio_jit(
         jnp.asarray(audio), sample_rate, hopsize, decoder,
         interp_unvoiced_at)

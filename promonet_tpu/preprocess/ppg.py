@@ -90,6 +90,132 @@ def _infer(params, mels):
     return module.apply(params, mels)
 
 
+###############################################################################
+# Training (zero-egress weight provenance)
+###############################################################################
+
+
+def train(
+    dataset='synthetic',
+    steps=3000,
+    batch_size=32,
+    window=256,
+    learning_rate=1e-3,
+    output=None,
+):
+    """Train the PPG encoder on frame-aligned phoneme labels.
+
+    The reference gets PPGs from the pretrained `ppgs` package
+    (promonet/preprocess/core.py:87-103); zero-egress, the equivalent
+    supervision comes from the formant-synthesis corpus
+    (data/synthetic.py), which writes the exact frame-rate phoneme
+    alignment it spoke next to every waveform. Cross-entropy over
+    40 phoneme classes on log-mel windows; the checkpoint lands at
+    ASSETS_DIR/checkpoints/ppg where `from_audio` auto-loads it.
+
+    Returns the held-out frame accuracy.
+    """
+    import optax
+
+    cache = promonet_tpu.CACHE_DIR / dataset
+    alignments = sorted(cache.glob('*/*-phonemes.npy'))
+    if not alignments:
+        raise FileNotFoundError(
+            f'No phoneme alignments under {cache}; generate the corpus '
+            'with promonet_tpu.data.synthetic.create(...)')
+
+    # Build fixed-shape (window, NUM_MELS) examples with masks. Audio is
+    # padded to a whole number of windows so mel extraction compiles for
+    # a small set of shapes.
+    spectrogram = promonet_tpu.preprocess.spectrogram
+    hopsize = promonet_tpu.HOPSIZE
+
+    @functools.partial(jax.jit)
+    def mels_of(audio):
+        return jnp.swapaxes(
+            spectrogram.from_audio(audio, mels=True), -1, -2)
+
+    examples, targets, masks = [], [], []
+    for alignment in alignments:
+        stem = str(alignment)[:-len('-phonemes.npy')]
+        labels = np.load(alignment)
+        audio = promonet_tpu.load.audio(f'{stem}.wav')
+        frames = min(labels.shape[0], audio.shape[-1] // hopsize)
+        padded_frames = ((frames + window - 1) // window) * window
+        audio = np.pad(
+            np.asarray(audio)[:, :frames * hopsize],
+            ((0, 0), (0, (padded_frames - frames) * hopsize)))
+        mels = np.asarray(mels_of(jnp.asarray(audio)))[:padded_frames]
+        labels = np.pad(labels[:frames], (0, padded_frames - frames))
+        mask = np.arange(padded_frames) < frames
+        for start in range(0, padded_frames, window):
+            sl = slice(start, start + window)
+            examples.append(mels[sl])
+            targets.append(labels[sl])
+            masks.append(mask[sl])
+    examples = np.stack(examples).astype(np.float32)
+    targets = np.stack(targets).astype(np.int32)
+    masks = np.stack(masks)
+
+    # Held-out split by window
+    rng = np.random.default_rng(promonet_tpu.RANDOM_SEED)
+    order = rng.permutation(len(examples))
+    num_valid = max(1, len(order) // 20)
+    valid_idx, train_idx = order[:num_valid], order[num_valid:]
+
+    module = PPGEncoder(num_phonemes=promonet_tpu.PPG_CHANNELS)
+    params = module.init(
+        jax.random.PRNGKey(promonet_tpu.RANDOM_SEED),
+        jnp.zeros((1, window, promonet_tpu.NUM_MELS)))
+    optimizer = optax.adamw(
+        optax.cosine_decay_schedule(learning_rate, steps), weight_decay=1e-4)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, mels, labels, mask):
+        def loss_fn(params):
+            log_probs = module.apply(params, mels)
+            nll = -jnp.take_along_axis(
+                log_probs, labels[..., None], axis=-1)[..., 0]
+            return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def accuracy_fn(params, mels, labels, mask):
+        predicted = jnp.argmax(module.apply(params, mels), axis=-1)
+        correct = (predicted == labels) * mask
+        return jnp.sum(correct) / jnp.maximum(jnp.sum(mask), 1.)
+
+    for step in range(steps):
+        batch = rng.choice(train_idx, batch_size)
+        params, opt_state, loss = step_fn(
+            params, opt_state,
+            examples[batch], targets[batch], masks[batch])
+        if step % 500 == 0:
+            acc = accuracy_fn(
+                params,
+                examples[valid_idx], targets[valid_idx], masks[valid_idx])
+            print(f'ppg train step {step}: loss {float(loss):.3f}, '
+                  f'valid acc {float(acc):.3f}')
+
+    accuracy = float(accuracy_fn(
+        params, examples[valid_idx], targets[valid_idx], masks[valid_idx]))
+
+    if output is None:
+        output = promonet_tpu.ASSETS_DIR / 'checkpoints' / 'ppg'
+    promonet_tpu.utils.checkpoint.save(
+        output,
+        jax.device_get(params),
+        step=steps,
+        accuracy=np.asarray(accuracy))
+    # Invalidate the inference cache so new extractions use the weights
+    if hasattr(_model, 'cache'):
+        del _model.cache
+    return accuracy
+
+
 def from_audio(audio, sample_rate=None, gpu=None):
     """Compute PPGs from audio (1, T) → (PPG_CHANNELS, frames)"""
     module, params = _model()
