@@ -415,6 +415,10 @@ MESH_SHAPE = None  # e.g. {'data': 8}
 # bound XLA recompilation
 INFERENCE_FRAME_BUCKETS = [64, 128, 256, 512, 1024, 2048, 4096]
 
+# Speaker count of the zero-egress formant-synthesis corpus
+# (data/synthetic.py); used when TRAINING_DATASET == 'synthetic'
+SYNTHETIC_SPEAKERS = 24
+
 # Pitch estimation front-end: 'dsp' (normalized cross-correlation; no
 # pretrained weights needed) or 'cnn' (FCNF0-style learned estimator;
 # loads weights from ASSETS_DIR/checkpoints/pitch when present).

@@ -61,8 +61,17 @@ NUM_FEATURES = promonet_tpu.NUM_MELS if promonet_tpu.SPECTROGRAM_ONLY else (
 NUM_FEATURES_DISCRIM = 1
 
 # Number of speakers
-_NUM_SPEAKERS_BY_DATASET = {'daps': 20, 'libritts': 1230, 'vctk': 109}
-if promonet_tpu.TRAINING_DATASET in _NUM_SPEAKERS_BY_DATASET:
+_NUM_SPEAKERS_BY_DATASET = {
+    'daps': 20,
+    'libritts': 1230,
+    'vctk': 109,
+    # Zero-egress formant-synthesis corpus (data/synthetic.py)
+    'synthetic': promonet_tpu.SYNTHETIC_SPEAKERS,
+}
+if hasattr(promonet_tpu.config.defaults, 'NUM_SPEAKERS'):
+    # A user config file may pin the speaker count directly
+    NUM_SPEAKERS = promonet_tpu.config.defaults.NUM_SPEAKERS
+elif promonet_tpu.TRAINING_DATASET in _NUM_SPEAKERS_BY_DATASET:
     NUM_SPEAKERS = _NUM_SPEAKERS_BY_DATASET[promonet_tpu.TRAINING_DATASET]
 else:
     # Speaker adaptation datasets are single-speaker

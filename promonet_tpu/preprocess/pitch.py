@@ -173,6 +173,156 @@ class PitchCNN:
         return self.module.apply(self.params, frames)
 
 
+def train(
+    dataset='synthetic',
+    steps=4000,
+    batch_size=128,
+    learning_rate=2e-4,
+    max_frames=120000,
+    output=None,
+):
+    """Train the FCNF0-style pitch CNN on ground-truth F0.
+
+    The reference relies on pretrained penn weights
+    (promonet/preprocess/core.py:64-86); zero-egress, supervision comes
+    from the formant-synthesis corpus (data/synthetic.py), whose
+    glottal-source frequency is known exactly at every frame.
+    Cross-entropy over the candidate-frequency bins on voiced frames;
+    after training, a voicing threshold over the posterior mass at the
+    decoded bin is calibrated on held-out voiced/unvoiced frames and
+    stored in the checkpoint (used by from_audio's unvoiced
+    interpolation when PITCH_ESTIMATOR='cnn').
+
+    Returns (median cents error, voicing accuracy) on held-out frames.
+    """
+    import optax
+
+    cache = promonet_tpu.CACHE_DIR / dataset
+    truths = sorted(cache.glob('*/*-truepitch.npy'))
+    if not truths:
+        raise FileNotFoundError(
+            f'No F0 ground truth under {cache}; generate the corpus '
+            'with promonet_tpu.data.synthetic.create(...)')
+
+    hopsize = promonet_tpu.HOPSIZE
+    frame_size = PitchCNN.FRAME_SIZE
+    rng = np.random.default_rng(promonet_tpu.RANDOM_SEED)
+    freqs = candidate_frequencies()
+    log_freqs = np.log(freqs)
+
+    frames_list, bins_list, voiced_list = [], [], []
+    collected = 0
+    for truth in truths:
+        stem = str(truth)[:-len('-truepitch.npy')]
+        f0 = np.load(truth)
+        voiced = np.load(f'{stem}-voiced.npy')
+        audio = np.asarray(promonet_tpu.load.audio(f'{stem}.wav'))[0]
+        num_frames = min(len(f0), audio.shape[-1] // hopsize)
+
+        centers = ((np.arange(num_frames) + 0.5) * hopsize)
+        starts = np.round(centers - frame_size / 2).astype(np.int64)
+        pad = frame_size
+        padded = np.pad(audio, (pad, pad))
+        idx = (starts + pad)[:, None] + np.arange(frame_size)[None]
+        frames = padded[idx]
+
+        # Keep all voiced frames + a sample of unvoiced (for voicing
+        # calibration)
+        keep = voiced[:num_frames] | (rng.random(num_frames) < 0.25)
+        frames_list.append(frames[keep].astype(np.float32))
+        bins_list.append(np.abs(
+            np.log(f0[:num_frames][keep])[:, None] -
+            log_freqs[None]).argmin(axis=-1).astype(np.int32))
+        voiced_list.append(voiced[:num_frames][keep])
+        collected += int(keep.sum())
+        if collected >= max_frames:
+            break
+
+    frames = np.concatenate(frames_list)
+    bins = np.concatenate(bins_list)
+    voiced = np.concatenate(voiced_list)
+    # Per-frame normalization matching inference
+    frames = frames - frames.mean(axis=-1, keepdims=True)
+    frames = frames / np.maximum(frames.std(axis=-1, keepdims=True), 1e-6)
+
+    order = rng.permutation(len(frames))
+    num_valid = max(1, len(order) // 20)
+    valid_idx, train_idx = order[:num_valid], order[num_valid:]
+    train_voiced = train_idx[voiced[train_idx]]
+
+    module = PitchCNN.Model()
+    params = module.init(
+        jax.random.PRNGKey(promonet_tpu.RANDOM_SEED),
+        jnp.zeros((1, frame_size)))
+    optimizer = optax.adamw(
+        optax.cosine_decay_schedule(learning_rate, steps), weight_decay=1e-4)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, frames, targets):
+        def loss_fn(params):
+            logits = module.apply(params, frames)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, targets).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for step in range(steps):
+        batch = rng.choice(train_voiced, batch_size)
+        params, opt_state, loss = step_fn(
+            params, opt_state, frames[batch], bins[batch])
+        if step % 1000 == 0:
+            print(f'pitch train step {step}: loss {float(loss):.3f}')
+
+    # Held-out evaluation: cents error on voiced frames, posterior-mass
+    # voicing calibration over all frames
+    @jax.jit
+    def infer(params, frames):
+        logits = module.apply(params, frames)
+        posterior = jax.nn.softmax(logits, axis=-1)
+        decoded = jnp.argmax(logits, axis=-1)
+        confidence = jnp.take_along_axis(
+            posterior, decoded[:, None], axis=-1)[:, 0]
+        return decoded, confidence
+
+    pad_to = ((len(valid_idx) + 255) // 256) * 256
+    vidx = np.concatenate([
+        valid_idx, valid_idx[:pad_to - len(valid_idx)]])
+    decoded, confidence = (
+        np.asarray(x)[:len(valid_idx)]
+        for x in infer(params, frames[vidx]))
+    vmask = voiced[valid_idx]
+    cents = np.abs(
+        log_freqs[decoded[vmask]] -
+        log_freqs[bins[valid_idx][vmask]]) * 1200 / np.log(2)
+    median_cents = float(np.median(cents)) if vmask.any() else float('nan')
+
+    # Voicing threshold: best balanced accuracy over confidence quantiles
+    candidates = np.quantile(confidence, np.linspace(0.02, 0.98, 97))
+    best_threshold, best_score = 0.5, -1.
+    for threshold in candidates:
+        predicted = confidence > threshold
+        tpr = (predicted & vmask).sum() / max(vmask.sum(), 1)
+        tnr = (~predicted & ~vmask).sum() / max((~vmask).sum(), 1)
+        score = 0.5 * (tpr + tnr)
+        if score > best_score:
+            best_score, best_threshold = score, float(threshold)
+
+    if output is None:
+        output = promonet_tpu.ASSETS_DIR / 'checkpoints' / 'pitch'
+    promonet_tpu.utils.checkpoint.save(
+        output,
+        jax.device_get(params),
+        step=steps,
+        voicing_threshold=np.asarray(best_threshold),
+        median_cents=np.asarray(median_cents),
+        voicing_accuracy=np.asarray(best_score))
+    if hasattr(PitchCNN, '_instance'):
+        del PitchCNN._instance
+    return median_cents, float(best_score)
+
+
 def _front_end(audio, sample_rate, hopsize):
     """Select the configured posteriorgram front-end
 

@@ -37,13 +37,34 @@ def load(file, target_sample_rate=None):
 
 
 def resample(audio, sample_rate, target_sample_rate):
-    """Polyphase resampling (replaces torchaudio.functional.resample)"""
+    """Polyphase resampling (replaces torchaudio.functional.resample)
+
+    Near-coprime rate pairs (e.g. the pitch-augmentation trick's
+    22050*ratio → 22050) would make resample_poly design filters with
+    10^5+ taps; those fall back to FFT resampling, which is exact for
+    band-limited signals and orders of magnitude faster.
+    """
     if sample_rate == target_sample_rate:
         return audio
     gcd = np.gcd(int(sample_rate), int(target_sample_rate))
     up = int(target_sample_rate) // gcd
     down = int(sample_rate) // gcd
+    if max(up, down) > 512:
+        from scipy.signal import resample as fft_resample
+        num = int(round(
+            audio.shape[-1] * target_sample_rate / sample_rate))
+        return fft_resample(audio, num, axis=-1).astype(np.float32)
     return resample_poly(audio, up, down, axis=-1).astype(np.float32)
+
+
+def duration(file):
+    """Audio file duration in seconds from the header (no data read)
+
+    Replaces torchaudio.info (promonet/partition/core.py:308-313).
+    """
+    import wave
+    with wave.open(str(file), 'rb') as handle:
+        return handle.getnframes() / handle.getframerate()
 
 
 def save(file, audio, sample_rate):
