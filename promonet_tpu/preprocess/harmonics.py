@@ -123,15 +123,9 @@ def viterbi(
     if max_harmonics is None:
         max_harmonics = promonet_tpu.MAX_HARMONICS
     frames = jnp.asarray(frames)
+    frequencies_np = np.asarray(frequencies)
     frequencies = jnp.asarray(frequencies)
     num_frames, num_states = frames.shape
-
-    # Transition: locality in log-frequency (harmonics.py:230-239)
-    logfreq = jnp.log2(frequencies)
-    transition = 1. - 3.5 * jnp.abs(logfreq[:, None] - logfreq[None, :])
-    transition = jnp.maximum(transition, 0.)
-    transition = transition / transition.sum(axis=1, keepdims=True)
-    log_transition = jnp.log(jnp.clip(transition, 1e-12))
 
     # Initial: linearly decreasing with frequency (harmonics.py:241-243)
     initial = jnp.linspace(1., 0., num_states)
@@ -139,9 +133,13 @@ def viterbi(
     log_initial = jnp.log(jnp.clip(initial, 1e-12))
 
     def decode(observation):
+        # Transition = log-frequency locality (harmonics.py:230-239),
+        # computed on the fly inside the Pallas kernel — the dense
+        # (N, N) matrix never materializes for the 2049-bin STFT axis
+        # (ops/viterbi.decode_logfreq; scan fallback off-TPU)
         log_obs = jax.nn.log_softmax(observation, axis=-1)
-        return viterbi_ops.decode(
-            log_obs, log_transition, log_initial, use_pallas=False)
+        return viterbi_ops.decode_logfreq(
+            log_obs, frequencies_np, log_initial)
 
     def mask(base, lo_hz, hi_hz):
         lo = jnp.searchsorted(frequencies, lo_hz)  # (frames,)

@@ -211,6 +211,57 @@ def test_viterbi_interpret_kernel_matches_scan():
         np.asarray(scan_path), np.asarray(kernel_path))
 
 
+def test_viterbi_logfreq_matches_dense():
+    """On-the-fly log-frequency kernel == dense decode (small N)"""
+    from jax.experimental.pallas import tpu as pltpu
+    viterbi = promonet_tpu.ops.viterbi
+    rng = np.random.default_rng(3)
+    T, N = 70, 200  # N not a lane multiple: exercises padding
+    frequencies = np.linspace(50., 8000., N)
+    obs = jnp.asarray(
+        np.log(jax.nn.softmax(
+            3. * rng.standard_normal((T, N)), axis=-1)),
+        dtype=jnp.float32)
+    initial = jnp.asarray(
+        np.log(np.linspace(1., .01, N) / np.linspace(1., .01, N).sum()),
+        dtype=jnp.float32)
+
+    dense = viterbi.decode(
+        obs,
+        viterbi.logfreq_transition_dense(frequencies),
+        initial,
+        use_pallas=False)
+    with pltpu.force_tpu_interpret_mode():
+        kernel = viterbi.decode_logfreq(
+            obs, frequencies, initial, use_pallas=True, time_chunk=16)
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(kernel))
+
+
+@pytest.mark.slow
+def test_viterbi_logfreq_large_state():
+    """The harmonics-scale decode (N=2049) through the Pallas path"""
+    from jax.experimental.pallas import tpu as pltpu
+    viterbi = promonet_tpu.ops.viterbi
+    rng = np.random.default_rng(4)
+    T, N = 40, 2049
+    frequencies = np.linspace(60., 11025., N)
+    obs = jnp.asarray(
+        np.log(jax.nn.softmax(
+            3. * rng.standard_normal((T, N)), axis=-1)),
+        dtype=jnp.float32)
+    initial = jnp.full((N,), -np.log(N), jnp.float32)
+
+    dense = viterbi.decode(
+        obs,
+        viterbi.logfreq_transition_dense(frequencies),
+        initial,
+        use_pallas=False)
+    with pltpu.force_tpu_interpret_mode():
+        kernel = viterbi.decode_logfreq(
+            obs, frequencies, initial, use_pallas=True, time_chunk=8)
+    np.testing.assert_array_equal(np.asarray(dense), np.asarray(kernel))
+
+
 def test_masked_interp():
     """Linear interpolation through masked regions (unvoiced pitch)"""
     values = jnp.asarray([1., 99., 99., 4., 99., 6.])
