@@ -289,8 +289,19 @@ class FARGAN(nn.Module):
         features,
         global_features,
         previous_samples=None,
-        train=False
+        train=False,
+        initial_states=None,
+        return_states=False
     ):
+        """
+        Arguments
+            initial_states: (previous_samples_buffer, recurrent_states)
+                carry from a previous call — exact-state streaming
+                continuation (the scan carry is the complete state of the
+                recurrence, so chunked synthesis is bit-identical to one
+                offline pass)
+            return_states: also return the final carry
+        """
         batch, num_frames, _ = features.shape
         num_previous = self.hopsize * self.previous_frames
 
@@ -308,15 +319,18 @@ class FARGAN(nn.Module):
 
         # Initial sample buffer and recurrent state
         # (promonet/model/fargan.py:406-415)
-        if previous_samples is None:
-            prev = jnp.zeros((batch, num_previous), jnp.float32)
+        if initial_states is not None:
+            prev, states = initial_states
         else:
-            prev = previous_samples.reshape(batch, -1)[:, -num_previous:]
-        states = (
-            jnp.zeros((batch, self.hopsize), self.dtype),
-            jnp.zeros((batch, self.hopsize), self.dtype),
-            jnp.zeros((batch, self.hopsize), self.dtype),
-            jnp.zeros((batch, 4 * self.subframe_size + 4), self.dtype))
+            if previous_samples is None:
+                prev = jnp.zeros((batch, num_previous), jnp.float32)
+            else:
+                prev = previous_samples.reshape(batch, -1)[:, -num_previous:]
+            states = (
+                jnp.zeros((batch, self.hopsize), self.dtype),
+                jnp.zeros((batch, self.hopsize), self.dtype),
+                jnp.zeros((batch, self.hopsize), self.dtype),
+                jnp.zeros((batch, 4 * self.subframe_size + 4), self.dtype))
 
         scan = nn.scan(
             FrameStep,
@@ -324,7 +338,7 @@ class FARGAN(nn.Module):
             split_rngs={'params': False, 'noise': True},
             in_axes=1,
             out_axes=1)
-        (_, _), frames = scan(
+        carry, frames = scan(
             self.hopsize,
             self.subframe_size,
             self.subframes,
@@ -336,4 +350,7 @@ class FARGAN(nn.Module):
 
         # (B, T, hopsize) -> (B, T * hopsize, 1)
         signal = frames.reshape(batch, num_frames * self.hopsize)
-        return signal.astype(jnp.float32)[..., None]
+        signal = signal.astype(jnp.float32)[..., None]
+        if return_states:
+            return signal, carry
+        return signal

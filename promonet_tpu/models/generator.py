@@ -183,7 +183,9 @@ class Generator(BaseGenerator):
         spectral_balance_ratios,
         loudness_ratios,
         previous_samples=None,
-        train=False
+        train=False,
+        initial_states=None,
+        return_states=False
     ):
         """
         Arguments (reference layouts, promonet/model/generator.py:116-135)
@@ -195,14 +197,29 @@ class Generator(BaseGenerator):
             spectral_balance_ratios: (B,)
             loudness_ratios: (B,)
             previous_samples: (B, 1, NUM_PREVIOUS_SAMPLES) for AR models
+            initial_states / return_states: FARGAN exact-state streaming
+                continuation (models/fargan.py)
 
         Returns
-            audio: (B, 1, T * HOPSIZE)
+            audio: (B, 1, T * HOPSIZE) [, final recurrent states]
         """
         features = self.prepare_features(loudness, pitch, periodicity, ppg)
         global_features = self.prepare_global_features(
             speakers, spectral_balance_ratios, loudness_ratios)
-        audio = self.backbone(features, global_features, previous_samples)
+        if self.model == 'fargan':
+            out = self.backbone(
+                features,
+                global_features,
+                previous_samples,
+                train=train,
+                initial_states=initial_states,
+                return_states=return_states)
+            if return_states:
+                audio, states = out
+                return jnp.swapaxes(audio, -1, -2), states
+            return jnp.swapaxes(out, -1, -2)
+        audio = self.backbone(
+            features, global_features, previous_samples, train=train)
         # (B, T_audio, 1) -> (B, 1, T_audio)
         return jnp.swapaxes(audio, -1, -2)
 
@@ -299,7 +316,8 @@ class MelGenerator(BaseGenerator):
         features = self.prepare_features(spectrograms)
         global_features = self.prepare_global_features(
             speakers, spectral_balance_ratios, loudness_ratios)
-        audio = self.backbone(features, global_features, previous_samples)
+        audio = self.backbone(
+            features, global_features, previous_samples, train=train)
         return jnp.swapaxes(audio, -1, -2)
 
     def prepare_features(self, spectrograms):

@@ -136,7 +136,8 @@ class HiFiGAN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, features, global_features, previous_samples=None):
+    def __call__(self, features, global_features, previous_samples=None,
+                 train=False):
         """
         Arguments
             features: (B, T, NUM_FEATURES) frame-rate input features

@@ -65,7 +65,8 @@ class Vocos(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, features, global_features, previous_samples=None):
+    def __call__(self, features, global_features, previous_samples=None,
+                 train=False):
         # Input feature projection
         x = Conv1d(self.channels, 7, padding=3, dtype=self.dtype)(features)
 

@@ -168,3 +168,122 @@ def _stack(loudness, pitch, periodicity, ppg):
     periodicity = np.asarray(periodicity, np.float32).reshape(1, -1)
     ppg = np.asarray(ppg, np.float32)
     return (loudness, pitch, periodicity, ppg)
+
+
+class FARGANStreamer:
+    """Exact-state streaming for the FARGAN backbone.
+
+    FARGAN's frame recurrence is an `nn.scan` whose carry (rolling sample
+    buffer + GRU/framewise-conv states) is the COMPLETE state of the
+    synthesis (models/fargan.py); carrying it across chunk boundaries
+    makes chunked synthesis bit-identical to one offline pass — no
+    context windows, no recompute, zero algorithmic latency beyond the
+    chunk itself. This is the streaming contract of the reference's
+    recurrent state init (promonet/model/fargan.py:406-415) taken to its
+    TPU-native conclusion: one fixed-shape compiled program per chunk
+    size, state resident between calls.
+    """
+
+    def __init__(
+        self,
+        checkpoint=None,
+        speaker=0,
+        spectral_balance_ratio=1.,
+        loudness_ratio=1.,
+        chunk_frames=32
+    ):
+        from .core import _cached_model
+
+        if promonet_tpu.MODEL != 'fargan':
+            raise ValueError(
+                'FARGANStreamer requires MODEL="fargan"; use Streamer '
+                '(windowed) for convolutional backbones')
+        self.chunk = chunk_frames
+        self.model, self.params, _ = _cached_model(checkpoint)
+        self._pending = None
+
+        # Zero initial carry, matching FARGAN's internal init
+        import jax.numpy as jnp
+        hopsize = promonet_tpu.HOPSIZE
+        subframe = hopsize // 4
+        num_previous = promonet_tpu.NUM_PREVIOUS_SAMPLES
+        dtype = self.model.dtype
+        self._carry = (
+            jnp.zeros((1, num_previous), jnp.float32),
+            (
+                jnp.zeros((1, hopsize), dtype),
+                jnp.zeros((1, hopsize), dtype),
+                jnp.zeros((1, hopsize), dtype),
+                jnp.zeros((1, 4 * subframe + 4), dtype)))
+
+        model = self.model
+        params = self.params
+
+        @jax.jit
+        def step(carry, loudness, pitch, periodicity, ppg):
+            audio, carry = model.apply(
+                params,
+                loudness[None],
+                pitch,
+                periodicity,
+                ppg[None],
+                np.asarray([speaker]).astype(
+                    np.int32 if not promonet_tpu.ZERO_SHOT
+                    else np.float32),
+                np.asarray([spectral_balance_ratio], np.float32),
+                np.asarray([loudness_ratio], np.float32),
+                initial_states=carry,
+                return_states=True)
+            return audio[0], carry
+
+        self._step = step
+
+    @property
+    def latency_seconds(self):
+        """Algorithmic latency: one chunk"""
+        return (
+            self.chunk * promonet_tpu.HOPSIZE / promonet_tpu.SAMPLE_RATE)
+
+    def feed(self, loudness, pitch, periodicity, ppg):
+        """Append feature frames; return newly synthesized audio"""
+        incoming = _stack(loudness, pitch, periodicity, ppg)
+        if self._pending is None:
+            self._pending = incoming
+        else:
+            self._pending = tuple(
+                np.concatenate([a, b], axis=-1)
+                for a, b in zip(self._pending, incoming))
+
+        outputs = []
+        while self._pending[1].shape[-1] >= self.chunk:
+            window = tuple(a[..., :self.chunk] for a in self._pending)
+            self._pending = tuple(
+                a[..., self.chunk:] for a in self._pending)
+            audio, self._carry = self._step(self._carry, *window)
+            outputs.append(np.asarray(audio))
+        if not outputs:
+            return np.zeros((1, 0), np.float32)
+        return np.concatenate(outputs, axis=-1)
+
+    def flush(self):
+        """Synthesize the remaining (< chunk) frames
+
+        The tail is zero-padded to the chunk so the compiled program is
+        reused, and the padding's output is trimmed — the scan is causal,
+        so the true frames' samples are unaffected. Terminal: the carry
+        is reset afterwards.
+        """
+        remaining = (
+            0 if self._pending is None else self._pending[1].shape[-1])
+        if remaining == 0:
+            self._pending = None
+            return np.zeros((1, 0), np.float32)
+        pad = self.chunk - remaining
+        window = tuple(
+            np.concatenate(
+                [a, np.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1)
+            for a in self._pending)
+        audio, _ = self._step(self._carry, *window)
+        self._pending = None
+        return np.asarray(
+            audio)[..., :remaining * promonet_tpu.HOPSIZE]

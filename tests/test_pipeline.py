@@ -8,6 +8,10 @@ import pytest
 
 import promonet_tpu
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 
 @pytest.fixture(scope='module')
 def corpus(tmp_path_factory):
@@ -17,11 +21,13 @@ def corpus(tmp_path_factory):
         promonet_tpu.CACHE_DIR,
         promonet_tpu.ASSETS_DIR,
         promonet_tpu.AUGMENT_DIR,
-        promonet_tpu.RESULTS_DIR)
+        promonet_tpu.RESULTS_DIR,
+        promonet_tpu.EVAL_DIR)
     promonet_tpu.CACHE_DIR = tmp / 'cache'
     promonet_tpu.ASSETS_DIR = tmp / 'assets'
     promonet_tpu.AUGMENT_DIR = tmp / 'assets' / 'augmentations'
     promonet_tpu.RESULTS_DIR = tmp / 'results'
+    promonet_tpu.EVAL_DIR = tmp / 'eval'
     promonet_tpu.data.synthetic.create(
         'synthetic', speakers=2, utterances=3, seconds=1.0)
     yield tmp
@@ -29,7 +35,8 @@ def corpus(tmp_path_factory):
         promonet_tpu.CACHE_DIR,
         promonet_tpu.ASSETS_DIR,
         promonet_tpu.AUGMENT_DIR,
-        promonet_tpu.RESULTS_DIR) = old
+        promonet_tpu.RESULTS_DIR,
+        promonet_tpu.EVAL_DIR) = old
 
 
 def test_cache_layout(corpus):
@@ -260,6 +267,52 @@ def test_evaluate_datasets(corpus, monkeypatch):
 
     out = promonet_tpu.RESULTS_DIR / promonet_tpu.CONFIG / 'synthetic'
     assert (out / 'results.json').exists()
+    # Per-speaker results files (reference layout, evaluate/core.py:14-22)
+    assert (out / '0000.json').exists()
+
+    # Subjective/objective artifact export (reference evaluate/core.py:1-23)
+    subjective = promonet_tpu.EVAL_DIR / 'subjective'
+    assert list((subjective / 'original').glob('*.wav'))
+    assert list((subjective / 'reconstructed').glob('*.wav'))
+    assert list((subjective / 'shifted-141').glob('*.wav'))
+    objective_dir = promonet_tpu.EVAL_DIR / 'objective' / 'reconstructed'
+    assert list(objective_dir.glob('*-pitch.npy'))
+
+    promonet_tpu.synthesize.core._cached_model.cache = {}
+
+
+def test_evaluate_adapt(corpus, monkeypatch):
+    """Adaptation-mode evaluation: per-speaker fine-tune then score
+
+    Reference: promonet/evaluate/core.py:97-108,158-180.
+    """
+    monkeypatch.setattr(promonet_tpu, 'HIFIGAN_UPSAMPLE_INITIAL_SIZE', 64)
+    monkeypatch.setattr(promonet_tpu, 'MULTI_PERIOD_DISCRIMINATOR', False)
+    monkeypatch.setattr(promonet_tpu, 'EVALUATION_RATIOS', [])
+    monkeypatch.setattr(promonet_tpu, 'STEPS', 1)
+    monkeypatch.setattr(promonet_tpu, 'ADAPTATION_STEPS', 1)
+    monkeypatch.setattr(promonet_tpu, 'CHECKPOINT_INTERVAL', 10 ** 9)
+    monkeypatch.setattr(promonet_tpu, 'DEFAULT_EVALUATION_STEPS', 0)
+    monkeypatch.setattr(promonet_tpu, 'RUNS_DIR', corpus / 'runs')
+    if hasattr(promonet_tpu.synthesize.core._cached_model, 'cache'):
+        promonet_tpu.synthesize.core._cached_model.cache = {}
+
+    promonet_tpu.partition.adaptation_partitions(
+        'synthetic', num_adapt_utterances=1)
+    results = promonet_tpu.evaluate.datasets(
+        ['synthetic'], adapt=True, max_stems=1)
+
+    speakers = results['synthetic']['speakers']
+    assert len(speakers) == 2
+    for speaker_results in speakers.values():
+        assert np.isfinite(
+            speaker_results['objective']['reconstructed']['pitch'])
+    # Each speaker got its own adaptation run with a checkpoint
+    for index in ('00', '01'):
+        run = (
+            promonet_tpu.RUNS_DIR / promonet_tpu.CONFIG / 'adapt' /
+            'synthetic' / index)
+        assert promonet_tpu.utils.checkpoint.latest_path(run) is not None
 
     promonet_tpu.synthesize.core._cached_model.cache = {}
 
@@ -285,6 +338,64 @@ def test_fused_edited_audio(corpus, monkeypatch, audio):
     # No-edit variant: output length equals input frames
     out = promonet_tpu.synthesize.from_edited_audio(np.asarray(audio))
     assert out.shape == (1, frames * promonet_tpu.HOPSIZE)
+    promonet_tpu.synthesize.core._cached_model.cache = {}
+
+
+def test_fargan_streaming_exact(monkeypatch, audio):
+    """FARGAN chunked streaming carries the scan state: bit-identical to
+    one offline pass (reference state contract:
+    promonet/model/fargan.py:406-415)"""
+    monkeypatch.setattr(promonet_tpu, 'MODEL', 'fargan')
+    monkeypatch.setattr(promonet_tpu, 'PRECISION', 'float32')
+    monkeypatch.setattr(
+        promonet_tpu, 'NUM_PREVIOUS_SAMPLES', 2 * promonet_tpu.HOPSIZE)
+    if hasattr(promonet_tpu.synthesize.core._cached_model, 'cache'):
+        promonet_tpu.synthesize.core._cached_model.cache = {}
+
+    loudness, pitch, periodicity, ppg = promonet_tpu.preprocess.from_audio(
+        np.asarray(audio), loudness_bands=None)
+    loudness = np.asarray(loudness)
+    pitch = np.asarray(pitch)
+    periodicity = np.asarray(periodicity)
+    ppg = np.asarray(ppg)
+    frames = pitch.shape[-1]
+
+    from promonet_tpu.synthesize.stream import FARGANStreamer
+    streamer = FARGANStreamer(speaker=0, chunk_frames=16)
+
+    # Offline: one pass through the same model/params
+    offline = np.asarray(streamer.model.apply(
+        streamer.params,
+        loudness[None] if loudness.ndim == 2 else loudness,
+        pitch,
+        periodicity,
+        ppg[None] if ppg.ndim == 2 else ppg,
+        np.asarray([0], np.int32),
+        np.asarray([1.], np.float32),
+        np.asarray([1.], np.float32)))[0]
+
+    # Streamed: uneven feeds + terminal flush
+    chunks = []
+    step = 10
+    for start in range(0, frames, step):
+        sl = slice(start, start + step)
+        chunks.append(streamer.feed(
+            loudness[:, sl], pitch[:, sl], periodicity[:, sl], ppg[:, sl]))
+    chunks.append(streamer.flush())
+    streamed = np.concatenate(chunks, axis=-1)
+
+    assert streamed.shape == offline.shape
+    # Sample-exact up to float reassociation: the carry (sample buffer +
+    # GRU states) is threaded exactly; the only remaining difference is
+    # XLA's matmul tiling of the frame-conditioning network, which
+    # reassociates float adds differently for different T (observed max
+    # |diff| ~1e-5 in float32). Crucially the error must NOT compound
+    # across chunks — that would indicate broken state threading.
+    diff = np.abs(streamed - offline)
+    assert diff.max() < 1e-4
+    quarter = diff.shape[-1] // 4
+    assert diff[..., -quarter:].max() < 1e-4
+
     promonet_tpu.synthesize.core._cached_model.cache = {}
 
 
