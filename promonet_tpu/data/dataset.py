@@ -15,6 +15,25 @@ import promonet_tpu
 from . import native
 
 
+def _windowed_load(file, window):
+    """Read only the trailing-axis window of an .npy (memory-mapped)"""
+    if str(file).endswith('.npy'):
+        mapped = np.load(file, mmap_mode='r')
+        return np.asarray(mapped[..., window], np.float32)
+    return np.asarray(
+        promonet_tpu.load.array(file), np.float32)[..., window]
+
+
+def _frames_of(file):
+    """Trailing-axis length of an .npy from its header (no data read)"""
+    if not str(file).endswith('.npy'):
+        return None
+    with open(file, 'rb') as handle:
+        version = np.lib.format.read_magic(handle)
+        shape, _, _ = np.lib.format._read_array_header(handle, version)
+    return shape[-1]
+
+
 class Dataset:
 
     def __init__(self, name, partition):
@@ -24,8 +43,12 @@ class Dataset:
         self.viterbi = '-viterbi' if promonet_tpu.VITERBI_DECODE_PITCH else ''
 
         # Partition stems + augmented variants
-        # (promonet/data/dataset.py:34-48)
-        stems = list(promonet_tpu.load.partition(name)[partition])
+        # (promonet/data/dataset.py:34-48). Partitions named
+        # *-adapt-NN live in the adaptation partition file regardless of
+        # the global ADAPTATION flag (evaluation adapts per speaker,
+        # promonet/evaluate/core.py:158-180)
+        adapt = True if '-adapt-' in partition else None
+        stems = list(promonet_tpu.load.partition(name, adapt)[partition])
         self.stems = []
         for stem in stems:
             self.stems.append(stem)
@@ -89,8 +112,6 @@ class Dataset:
         pitch = load.array(self.cache / f'{stem}{self.viterbi}-pitch.npy')
         periodicity = load.array(
             self.cache / f'{stem}{self.viterbi}-periodicity.npy')
-        spectrogram = load.array(self.cache / f'{stem}-spectrogram.npy')
-        ppg = load.ppg(self.cache / f'{stem}-ppg.npy', pitch.shape[-1])
 
         # Loudness-augmented stems reuse the ORIGINAL loudness to
         # disentangle loudness from other features
@@ -99,7 +120,34 @@ class Dataset:
         base, ratio_pitch, ratio_loudness = self._parse_ratios(stem)
         if ratio_loudness != 1.:
             loudness_stem = base
-        loudness = load.array(self.cache / f'{loudness_stem}-loudness.npy')
+
+        # Chunked training path reads only the crop window of the wide
+        # (1025, T) features via mmap — loading them whole and cropping
+        # makes the host loader ~8x slower than the TPU train step
+        hopsize = promonet_tpu.HOPSIZE
+        chunk = promonet_tpu.CHUNK_SIZE
+        frames = chunk // hopsize
+        total_frames = pitch.shape[-1]
+        windowed = chunk_rng is not None and total_frames >= frames
+        if windowed:
+            start_frame = int(
+                chunk_rng.integers(0, total_frames - frames + 1))
+            window = slice(start_frame, start_frame + frames)
+        else:
+            window = slice(None)
+
+        spectrogram = _windowed_load(
+            self.cache / f'{stem}-spectrogram.npy', window)
+        ppg_file = self.cache / f'{stem}-ppg.npy'
+        if _frames_of(ppg_file) == total_frames:
+            ppg = _windowed_load(ppg_file, window)
+        else:
+            ppg = np.asarray(load.ppg(ppg_file, total_frames))[..., window]
+        loudness = _windowed_load(
+            self.cache / f'{loudness_stem}-loudness.npy', window)
+        if windowed:
+            pitch = pitch[..., window]
+            periodicity = periodicity[..., window]
 
         text_file = self.cache / f'{base.split("-")[0]}.txt'
         if not text_file.exists():
@@ -147,25 +195,14 @@ class Dataset:
             item['audio'] = np.asarray(load.audio(wav), np.float32)
             return item
 
-        # Chunked training path: crop features, read only the matching
-        # audio window (reference crops after full decode,
-        # promonet/data/dataset.py:91-117)
-        hopsize = promonet_tpu.HOPSIZE
-        chunk = promonet_tpu.CHUNK_SIZE
-        frames = chunk // hopsize
-        total_frames = pitch.shape[-1]
-
-        if total_frames < frames:
+        if not windowed:
             # Short clip: decode fully and reflect-pad
             item['audio'] = np.asarray(load.audio(wav), np.float32)
             return random_chunk(item, chunk_rng)
 
-        start_frame = int(chunk_rng.integers(0, total_frames - frames + 1))
-        for key in ('loudness', 'ppg', 'spectrograms'):
-            item[key] = item[key][..., start_frame:start_frame + frames]
-        for key in ('pitch', 'periodicity'):
-            item[key] = item[key][start_frame:start_frame + frames]
-
+        # Features were window-read above; read the matching audio window
+        # (reference crops after full decode,
+        # promonet/data/dataset.py:91-117)
         start = start_frame * hopsize
         if native.available():
             item['audio'] = native.wav_chunk(wav, start, chunk)[None]

@@ -16,6 +16,12 @@ def parse_args():
         help='The generator checkpoint to evaluate')
     parser.add_argument(
         '--gpu', type=int, help='Unused (API parity); device is the TPU')
+    parser.add_argument(
+        '--adapt',
+        action='store_true',
+        default=None,
+        help='Evaluate per-speaker adaptation partitions '
+             '(reference: promonet/evaluate/core.py:97-108)')
     return parser.parse_args()
 
 

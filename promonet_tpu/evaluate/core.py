@@ -5,6 +5,29 @@ Reference: promonet/evaluate/core.py. Per speaker and per edit condition
 configured ratios), synthesized audio is re-preprocessed with the same
 feature extractors and scored with the Metrics bundle; generation speed is
 reported as a real-time factor (evaluate/core.py:125-129).
+
+Artifacts follow the reference's eval/ layout (evaluate/core.py:1-23):
+
+eval
+├── objective
+│   └── <condition>
+│       └── <dataset>-<speaker>-<utterance>-<condition>-<feature>.npy
+└── subjective
+    └── <condition>
+        └── <dataset>-<speaker>-<utterance>-<condition>.wav
+
+so the shipped MUSHRA/ABX crowdsourcing configs
+(promonet_tpu/assets/configs/*.yaml) can run over the subjective tree.
+
+Adaptation mode (reference: evaluate/core.py:97-108,158-180): with
+adapt=True, each held-out speaker's `train-adapt-NN` partition fine-tunes
+the base checkpoint for ADAPTATION_STEPS before that speaker's
+`test-adapt-NN` utterances are scored.
+
+Intelligibility (reference: evaluate/metrics.py:306-310) is computed
+when a transcriber is available (cached Whisper, or the trained
+PPG-encoder phoneme decoder — preprocess/text.py) and the dataset
+carries transcripts.
 """
 import json
 
@@ -19,10 +42,18 @@ from ..utils.notify import notify
 
 
 @notify('evaluate')
-def datasets(datasets=None, checkpoint=None, gpu=None, max_stems=None):
+def datasets(
+    datasets=None,
+    checkpoint=None,
+    gpu=None,
+    max_stems=None,
+    adapt=None,
+):
     """Evaluate datasets (reference: promonet/evaluate/core.py:42-140)"""
     if datasets is None:
         datasets = [promonet_tpu.TRAINING_DATASET]
+    if adapt is None:
+        adapt = promonet_tpu.ADAPTATION
 
     timer.reset()
     aggregate = {}
@@ -30,16 +61,32 @@ def datasets(datasets=None, checkpoint=None, gpu=None, max_stems=None):
         results = {'num_samples': 0, 'num_frames': 0, 'speakers': {}}
         dataset_metrics = _condition_metrics()
 
-        test_partition = promonet_tpu.load.partition(name)['test']
-        stems_by_speaker = {}
-        for stem in test_partition:
-            stems_by_speaker.setdefault(stem.split('/')[0], []).append(stem)
+        if adapt:
+            speaker_items = _adaptation_speakers(name, max_stems)
+        else:
+            test_partition = promonet_tpu.load.partition(name)['test']
+            stems_by_speaker = {}
+            for stem in test_partition:
+                stems_by_speaker.setdefault(
+                    stem.split('/')[0], []).append(stem)
+            speaker_items = [
+                (speaker_id, stems, checkpoint)
+                for speaker_id, stems in stems_by_speaker.items()]
 
-        for speaker_id, stems in stems_by_speaker.items():
+        for speaker_id, stems, speaker_checkpoint in speaker_items:
             if max_stems is not None:
                 stems = stems[:max_stems]
+            if adapt and speaker_checkpoint is None:
+                # Adapt the base checkpoint to this speaker first
+                speaker_checkpoint = _adapt_speaker(
+                    name, speaker_id, checkpoint)
             speaker_results = speaker(
-                name, speaker_id, stems, checkpoint, dataset_metrics)
+                name,
+                speaker_id,
+                stems,
+                speaker_checkpoint,
+                dataset_metrics,
+                adapt=adapt)
             results['speakers'][speaker_id] = speaker_results
             results['num_samples'] += speaker_results['num_samples']
             results['num_frames'] += speaker_results['num_frames']
@@ -62,19 +109,33 @@ def datasets(datasets=None, checkpoint=None, gpu=None, max_stems=None):
         directory.mkdir(parents=True, exist_ok=True)
         with open(directory / 'results.json', 'w') as file:
             json.dump(results, file, indent=4, default=float)
+        # Per-speaker result files (reference layout, evaluate/core.py:14-22)
+        for speaker_id, speaker_results in results['speakers'].items():
+            with open(directory / f'{speaker_id}.json', 'w') as file:
+                json.dump(speaker_results, file, indent=4, default=float)
         aggregate[name] = results
     return aggregate
 
 
-def speaker(dataset, speaker_id, stems, checkpoint, dataset_metrics):
+def speaker(
+    dataset,
+    speaker_id,
+    stems,
+    checkpoint,
+    dataset_metrics,
+    adapt=False,
+):
     """Evaluate one speaker's test utterances across edit conditions"""
     cache = promonet_tpu.CACHE_DIR / dataset
-    viterbi = '-viterbi' if promonet_tpu.VITERBI_DECODE_PITCH else ''
     speaker_metrics = _condition_metrics()
     num_samples = num_frames = 0
 
-    data = promonet_tpu.data.Dataset(dataset, 'test')
-    speaker_index = data.speaker_index.get(speaker_id, 0)
+    # Adapted models are single-speaker (reference evaluate/core.py:219)
+    if adapt:
+        speaker_index = 0
+    else:
+        data = promonet_tpu.data.Dataset(dataset, 'test')
+        speaker_index = data.speaker_index.get(speaker_id, 0)
 
     # Baseline configs route synthesis through their own vocoder
     # (promonet/evaluate/core.py:241-296): 'world' supports the edit
@@ -84,10 +145,32 @@ def speaker(dataset, speaker_id, stems, checkpoint, dataset_metrics):
         else 'mels' if promonet_tpu.SPECTROGRAM_ONLY
         else None)
 
+    # Transcription for intelligibility, when possible
+    include_wer = promonet_tpu.preprocess.text.available()
+
     for stem in stems:
         loudness, pitch, periodicity, ppg = _load_features(cache, stem)
         num_frames += pitch.shape[-1]
         num_samples += pitch.shape[-1] * promonet_tpu.HOPSIZE
+        key_base = f'{dataset}-{stem.replace("/", "-")}'
+
+        # Reference transcript (for WER)
+        text = None
+        if include_wer:
+            text_file = cache / f'{stem.split("-")[0]}.txt'
+            if not text_file.exists():
+                text_file = cache / f'{stem}.txt'
+            if text_file.exists():
+                text = promonet_tpu.preprocess.text.normalize(
+                    text_file.read_text())
+
+        # Copy the original audio into the subjective tree
+        # (promonet/evaluate/core.py:206-223)
+        original = promonet_tpu.load.audio(cache / f'{stem}.wav')
+        trim = original.shape[-1] % promonet_tpu.HOPSIZE
+        if trim:
+            original = original[..., :-trim]
+        _export_audio('original', f'{key_base}-original', original)
 
         # Edit conditions (promonet/evaluate/core.py:241-572): feature
         # edits (shift/stretch/scale) plus synthesis-conditioning edits
@@ -153,6 +236,11 @@ def speaker(dataset, speaker_id, stems, checkpoint, dataset_metrics):
                     loudness_ratio=loudness_ratio,
                     checkpoint=checkpoint)
 
+            # Export generated audio for subjective evaluation
+            # (promonet/evaluate/core.py:1-23 directory layout)
+            key = f'{key_base}-{condition}'
+            _export_audio(condition, key, np.asarray(generated))
+
             # Re-extract features from the generated audio
             # (promonet/evaluate/core.py:578-596)
             with timer.context('preprocess'):
@@ -166,6 +254,23 @@ def speaker(dataset, speaker_id, stems, checkpoint, dataset_metrics):
                     features=('loudness', 'pitch', 'periodicity', 'ppg'),
                     loudness_bands=None)
 
+            # Transcribe the generated audio (intelligibility)
+            predicted_text = None
+            if include_wer and text:
+                with timer.context('transcribe'):
+                    predicted_text = promonet_tpu.preprocess.text.normalize(
+                        promonet_tpu.preprocess.text.from_audio(
+                            np.asarray(generated)))
+
+            # Export predicted features for objective inspection
+            _export_features(
+                condition,
+                key,
+                loudness=np.asarray(pred_loudness),
+                pitch=np.asarray(pred_pitch),
+                periodicity=np.asarray(pred_periodicity),
+                ppg=np.asarray(pred_ppg))
+
             update = dict(
                 loudness=np.asarray(edit_loudness).mean(axis=-2),
                 predicted_loudness=np.asarray(pred_loudness).mean(axis=-2),
@@ -174,7 +279,9 @@ def speaker(dataset, speaker_id, stems, checkpoint, dataset_metrics):
                 predicted_pitch=pred_pitch,
                 predicted_periodicity=pred_periodicity,
                 ppg=edit_ppg,
-                predicted_ppg=pred_ppg)
+                predicted_ppg=pred_ppg,
+                text=text,
+                predicted_text=predicted_text)
             speaker_metrics[condition].update(**update)
             dataset_metrics[condition].update(**update)
 
@@ -187,6 +294,74 @@ def speaker(dataset, speaker_id, stems, checkpoint, dataset_metrics):
     }
 
 
+###############################################################################
+# Adaptation-mode evaluation
+###############################################################################
+
+
+def _adaptation_speakers(name, max_stems=None):
+    """Yield (speaker_id, test stems, checkpoint=None) per adapt split"""
+    partition = promonet_tpu.load.partition(name, adapt=True)
+    items = []
+    for key in sorted(partition):
+        if not key.startswith('test-adapt-'):
+            continue
+        speaker_id = key[len('test-adapt-'):]
+        items.append((speaker_id, sorted(partition[key]), None))
+    return items
+
+
+def _adapt_speaker(name, speaker_id, base_checkpoint):
+    """Fine-tune the base checkpoint on one speaker's adapt partition
+
+    Reference: promonet/evaluate/core.py:158-180 — resume if the
+    adaptation run already has checkpoints, else train for
+    ADAPTATION_STEPS from the base.
+    """
+    directory = (
+        promonet_tpu.RUNS_DIR / promonet_tpu.CONFIG / 'adapt' / name /
+        speaker_id)
+    directory.mkdir(parents=True, exist_ok=True)
+
+    latest = promonet_tpu.utils.checkpoint.latest_path(directory)
+    if latest is None:
+        promonet_tpu.train(
+            directory,
+            dataset=name,
+            train_partition=f'train-adapt-{speaker_id}',
+            valid_partition=f'test-adapt-{speaker_id}',
+            adapt_from=base_checkpoint)
+    return promonet_tpu.utils.checkpoint.latest_path(directory)
+
+
+###############################################################################
+# Artifact export
+###############################################################################
+
+
+def _export_audio(condition, key, audio):
+    """Write audio under eval/subjective/<condition>/<key>.wav"""
+    directory = promonet_tpu.EVAL_DIR / 'subjective' / condition
+    directory.mkdir(parents=True, exist_ok=True)
+    promonet_tpu.utils.audio.save(
+        directory / f'{key}.wav',
+        np.asarray(audio),
+        promonet_tpu.SAMPLE_RATE)
+
+
+def _export_features(condition, key, **features):
+    """Write features under eval/objective/<condition>/<key>-<name>.npy"""
+    directory = promonet_tpu.EVAL_DIR / 'objective' / condition
+    directory.mkdir(parents=True, exist_ok=True)
+    for name, value in features.items():
+        np.save(directory / f'{key}-{name}.npy', value)
+
+
+###############################################################################
+# Internals
+###############################################################################
+
+
 def _condition_metrics():
     conditions = ['reconstructed']
     for ratio in promonet_tpu.EVALUATION_RATIOS:
@@ -197,7 +372,10 @@ def _condition_metrics():
             f'scaled-{key}',
             f'balance-{key}',
             f'loudness-{key}']
-    return {condition: Metrics(include_wer=False) for condition in conditions}
+    return {
+        condition: Metrics(
+            include_wer=promonet_tpu.preprocess.text.available())
+        for condition in conditions}
 
 
 def _load_features(cache, stem):

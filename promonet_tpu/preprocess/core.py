@@ -179,18 +179,35 @@ def from_files_to_files(
     """Preprocess multiple audio files and save
 
     Reference fans out per-extractor with worker pools
-    (promonet/preprocess/core.py:227-319); here extraction is
-    device-bound, so a sequential host loop feeding the jitted extractors
-    keeps the TPU busy.
+    (promonet/preprocess/core.py:227-319); here extraction is one fused
+    device program per file, so the binding constraint is dispatch
+    latency (significant on tunneled/remote TPU attachments), not
+    compute. A thread pool keeps several dispatches in flight — JAX
+    dispatch is thread-safe and compiled programs are shared — hiding
+    the round-trip behind the device work.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     if output_prefixes is None:
         output_prefixes = [Path(file).with_suffix('') for file in files]
-    for file, output_prefix in zip(files, output_prefixes):
+
+    def task(pair):
+        file, output_prefix = pair
         from_file_to_file(
             file,
             output_prefix,
             features=features,
             loudness_bands=loudness_bands)
+
+    # Warm the compile caches sequentially on the first file (avoids a
+    # thundering herd of identical compilations), then fan out
+    pairs = list(zip(files, output_prefixes))
+    if not pairs:
+        return
+    task(pairs[0])
+    if len(pairs) > 1:
+        with ThreadPoolExecutor(8) as pool:
+            list(pool.map(task, pairs[1:]))
 
 
 def save(output_prefix, feature_values):

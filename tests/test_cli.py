@@ -4,6 +4,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 ENTRY_POINTS = [
     'promonet_tpu.preprocess',
     'promonet_tpu.edit',
