@@ -415,6 +415,13 @@ MESH_SHAPE = None  # e.g. {'data': 8}
 # bound XLA recompilation
 INFERENCE_FRAME_BUCKETS = [64, 128, 256, 512, 1024, 2048, 4096]
 
+# Device-resident training data (data/resident.py): pack the whole
+# preprocessed corpus into HBM once and sample crops on device inside
+# the train step, instead of host-feeding batches. None = auto (on for
+# TPU backends when the model trains on interpretable features).
+# Essential when the chip sits behind a narrow interconnect.
+RESIDENT_DATA = None
+
 # Speaker count of the zero-egress formant-synthesis corpus
 # (data/synthetic.py); used when TRAINING_DATASET == 'synthetic'
 SYNTHETIC_SPEAKERS = 24

@@ -1,0 +1,186 @@
+"""Device-resident training data: the TPU-native input pipeline.
+
+No reference counterpart (the reference feeds a torch DataLoader with 10
+worker processes, promonet/data/loader.py). On a TPU attached over a
+narrow interconnect, per-step host feeding cannot work at this batch
+size: a batch is ~22 MB (audio + full-band loudness + spectrograms +
+PPGs) while the measured host→device bandwidth here is 1-2.4 MB/s —
+three orders of magnitude short of the 16.8 ms train step.
+
+The preprocessed corpus itself is small (~1-2 GB packed), so the
+TPU-native design is to make the DATASET device-resident: pack every
+training stem into padded arrays once on the host, upload once, and
+sample random fixed-size crops ON DEVICE inside the jitted train step
+(`sample` below). Per-step host traffic drops to a PRNG key.
+
+Packing choices (per-stem, padded to the corpus max frame count):
+- audio as int16 (bit-exact with the 16-bit PCM cache; converted to
+  float on device)
+- full-band loudness is band-averaged to LOUDNESS_BANDS on the host —
+  the generator's `_band_average` is an identity when the input already
+  has LOUDNESS_BANDS rows, so values reaching the network are unchanged
+  (promonet/model/generator.py:172-184)
+- pitch / periodicity / PPG as float16 (≤1e-3 relative error; ~1 cent
+  of pitch)
+- the mel-loss target spectrogram is NOT packed: it is recomputed on
+  device from the sampled audio crop (ops/stft), making the loss target
+  self-consistent with the crop the generator must reproduce (the cached
+  variant's edge frames see context beyond the crop)
+
+Sampling is stateless-uniform over (stem, start) given the step RNG —
+replacing the reference's epoch-shuffled sampler (promonet/data/
+sampler.py:33-60); over the 800k-step budget each stem is visited
+~200x either way. Validation and evaluation keep the host loader.
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import promonet_tpu
+
+
+def pack(name, partition='train'):
+    """Pack a partition's preprocessed cache into flat host arrays"""
+    from .dataset import Dataset
+
+    dataset = Dataset(name, partition)
+    cache = dataset.cache
+    viterbi = dataset.viterbi
+    hopsize = promonet_tpu.HOPSIZE
+    chunk_frames = promonet_tpu.CHUNK_SIZE // hopsize
+    bands = promonet_tpu.LOUDNESS_BANDS
+
+    records = []
+    for stem in dataset.stems:
+        pitch = np.load(cache / f'{stem}{viterbi}-pitch.npy').reshape(-1)
+        frames = pitch.shape[-1]
+        if frames < chunk_frames:
+            continue  # shorter than one training chunk
+        records.append((stem, frames))
+    if not records:
+        raise RuntimeError(f'No stems of at least one chunk in {name}')
+
+    max_frames = max(frames for _, frames in records)
+    count = len(records)
+
+    audio = np.zeros((count, max_frames * hopsize), np.int16)
+    loudness = np.zeros((count, bands, max_frames), np.float16)
+    pitch_arr = np.zeros((count, max_frames), np.float16)
+    periodicity = np.zeros((count, max_frames), np.float16)
+    ppg = np.zeros(
+        (count, promonet_tpu.PPG_CHANNELS, max_frames), np.float16)
+    lengths = np.zeros((count,), np.int32)
+    speakers = np.zeros((count,), np.int32)
+    spectral_balance_ratios = np.ones((count,), np.float32)
+    loudness_ratios = np.ones((count,), np.float32)
+
+    from scipy.io import wavfile
+
+    for i, (stem, frames) in enumerate(records):
+        lengths[i] = frames
+        _, pcm = wavfile.read(cache / f'{stem}.wav')
+        if pcm.dtype != np.int16:  # normalize exotic encodings
+            pcm = (np.clip(pcm, -1., 1.) * 32767).astype(np.int16)
+        audio[i, :frames * hopsize] = pcm[:frames * hopsize]
+
+        base, ratio_pitch, ratio_loudness = dataset._parse_ratios(stem)
+        spectral_balance_ratios[i] = ratio_pitch
+        loudness_ratios[i] = ratio_loudness
+        # Loudness-augmented stems reuse the ORIGINAL loudness
+        # (promonet/data/dataset.py:84-88)
+        loudness_stem = base if ratio_loudness != 1. else stem
+        full = np.load(
+            cache / f'{loudness_stem}-loudness.npy').astype(np.float32)
+        loudness[i, :, :frames] = _band_average(full, bands)[:, :frames]
+
+        pitch_arr[i, :frames] = np.load(
+            cache / f'{stem}{viterbi}-pitch.npy').reshape(-1)[:frames]
+        periodicity[i, :frames] = np.load(
+            cache / f'{stem}{viterbi}-periodicity.npy'
+        ).reshape(-1)[:frames]
+        ppg[i, :, :frames] = np.asarray(promonet_tpu.load.ppg(
+            cache / f'{stem}-ppg.npy', frames))[:, :frames]
+
+        speakers[i] = dataset.speaker_index.get(stem.split('/')[0], 0)
+
+    return {
+        'audio': audio,
+        'loudness': loudness,
+        'pitch': pitch_arr,
+        'periodicity': periodicity,
+        'ppg': ppg,
+        'lengths': lengths,
+        'speakers': speakers,
+        'spectral_balance_ratios': spectral_balance_ratios,
+        'loudness_ratios': loudness_ratios,
+    }
+
+
+def _band_average(loudness, bands):
+    """Host-side mirror of the generator's band averaging"""
+    num_freqs = loudness.shape[-2]
+    step = num_freqs / bands
+    return np.stack([
+        loudness[int(band * step):int((band + 1) * step)].mean(axis=-2)
+        for band in range(bands)])
+
+
+def to_device(packed):
+    """Upload the packed corpus to the device once"""
+    nbytes = sum(a.nbytes for a in packed.values())
+    print(
+        f'resident dataset: {len(packed["lengths"])} stems, '
+        f'{nbytes / 1e9:.2f} GB → device', flush=True)
+    return {k: jax.device_put(v) for k, v in packed.items()}
+
+
+def sample(data, rng, batch_size=None):
+    """Draw one training batch of random crops, entirely on device.
+
+    Returns the same batch dict the host collate produces for training
+    (minus 'spectrograms', which the resident train step computes from
+    the audio crop, and host-only string fields).
+    """
+    if batch_size is None:
+        batch_size = promonet_tpu.BATCH_SIZE
+    hopsize = promonet_tpu.HOPSIZE
+    chunk_frames = promonet_tpu.CHUNK_SIZE // hopsize
+
+    stem_key, start_key = jax.random.split(rng)
+    count = data['lengths'].shape[0]
+    idx = jax.random.randint(stem_key, (batch_size,), 0, count)
+    max_start = (data['lengths'][idx] - chunk_frames).astype(jnp.float32)
+    uniform = jax.random.uniform(start_key, (batch_size,))
+    starts = jnp.floor(uniform * (max_start + 1.)).astype(jnp.int32)
+
+    def gather(row, start):
+        audio = jax.lax.dynamic_slice(
+            data['audio'][row],
+            (start * hopsize,),
+            (chunk_frames * hopsize,))
+        loudness = jax.lax.dynamic_slice(
+            data['loudness'][row],
+            (0, start),
+            (data['loudness'].shape[1], chunk_frames))
+        pitch = jax.lax.dynamic_slice(
+            data['pitch'][row], (start,), (chunk_frames,))
+        periodicity = jax.lax.dynamic_slice(
+            data['periodicity'][row], (start,), (chunk_frames,))
+        ppg = jax.lax.dynamic_slice(
+            data['ppg'][row],
+            (0, start),
+            (data['ppg'].shape[1], chunk_frames))
+        return audio, loudness, pitch, periodicity, ppg
+
+    audio, loudness, pitch, periodicity, ppg = jax.vmap(gather)(idx, starts)
+    return {
+        'audio': (audio.astype(jnp.float32) / 32768.)[:, None, :],
+        'loudness': loudness.astype(jnp.float32),
+        'pitch': pitch.astype(jnp.float32),
+        'periodicity': periodicity.astype(jnp.float32),
+        'ppg': ppg.astype(jnp.float32),
+        'speakers': data['speakers'][idx],
+        'spectral_balance_ratios': data['spectral_balance_ratios'][idx],
+        'loudness_ratios': data['loudness_ratios'][idx],
+    }

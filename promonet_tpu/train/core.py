@@ -69,9 +69,23 @@ def train(
     # Device mesh; batch shards over 'data', params replicate
     mesh = promonet_tpu.parallel.create_mesh()
 
+    # Device-resident corpus or host loader (data/resident.py rationale)
+    resident = promonet_tpu.RESIDENT_DATA
+    if resident is None:
+        resident = (
+            jax.default_backend() == 'tpu'
+            and not promonet_tpu.SPECTROGRAM_ONLY
+            and len(jax.devices()) == 1)
+
     # Data loaders (promonet/train/core.py:38-47)
-    train_loader = promonet_tpu.data.loader(
-        dataset, train_partition, adapt_from is not None)
+    if resident:
+        from ..data import resident as resident_module
+        train_data = resident_module.to_device(
+            resident_module.pack(dataset, train_partition))
+        train_loader = None
+    else:
+        train_loader = promonet_tpu.data.loader(
+            dataset, train_partition, adapt_from is not None)
     valid_loader = promonet_tpu.data.loader(
         dataset, valid_partition, adapt_from is not None)
 
@@ -91,7 +105,8 @@ def train(
     def step_fn_for(step):
         return make_train_step(
             discriminate=step >= promonet_tpu.DISCRIMINATOR_START_STEP,
-            adversarial=step >= promonet_tpu.ADVERSARIAL_LOSS_START_STEP)
+            adversarial=step >= promonet_tpu.ADVERSARIAL_LOSS_START_STEP,
+            resident=resident)
 
     boundaries = sorted({
         promonet_tpu.DISCRIMINATOR_START_STEP,
@@ -99,35 +114,56 @@ def train(
     step_fn = step_fn_for(step)
     rng = jax.random.PRNGKey(promonet_tpu.RANDOM_SEED + 1)
 
-    while step < steps:
-        train_loader.sampler.set_epoch(epoch)
-        for batch in train_loader:
+    progress_interval = 2000
+    progress_clock, progress_step = time.time(), step
 
-            # Skip examples that are too short (promonet/train/core.py:154)
-            if batch['audio'].shape[-1] < promonet_tpu.CHUNK_SIZE:
-                continue
+    def batches():
+        """Per-step inputs: the resident corpus handle, or host batches"""
+        nonlocal epoch
+        if resident:
+            while True:
+                yield train_data
+        else:
+            while True:
+                train_loader.sampler.set_epoch(epoch)
+                for batch in train_loader:
+                    # Skip examples that are too short
+                    # (promonet/train/core.py:154)
+                    if batch['audio'].shape[-1] < promonet_tpu.CHUNK_SIZE:
+                        continue
+                    yield promonet_tpu.parallel.shard_batch(batch, mesh)
+                epoch += 1
 
-            if step in boundaries:
-                step_fn = step_fn_for(step)
+    for batch in batches():
 
-            batch = promonet_tpu.parallel.shard_batch(batch, mesh)
-            rng, step_rng = jax.random.split(rng)
-            state, metrics = step_fn(state, batch, step_rng)
+        if step in boundaries:
+            step_fn = step_fn_for(step)
 
-            if step % promonet_tpu.EVALUATION_INTERVAL == 0:
-                scalars = {
-                    k: float(v) for k, v in
-                    jax.device_get(metrics).items()}
-                promonet_tpu.utils.log.update(directory, step, scalars=scalars)
-                evaluate(directory, step, state, valid_loader, mesh)
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = step_fn(state, batch, step_rng)
 
-            if step and step % promonet_tpu.CHECKPOINT_INTERVAL == 0:
-                save_checkpoint(directory, state, step, epoch)
+        if step and step % progress_interval == 0:
+            now = time.time()
+            rate = (step - progress_step) / max(now - progress_clock, 1e-9)
+            print(
+                f'step {step}/{steps} · {rate:.1f} steps/s · '
+                f'eta {(steps - step) / max(rate, 1e-9) / 3600:.2f} h',
+                flush=True)
+            progress_clock, progress_step = now, step
 
-            if step >= steps:
-                break
-            step += 1
-        epoch += 1
+        if step % promonet_tpu.EVALUATION_INTERVAL == 0:
+            scalars = {
+                k: float(v) for k, v in
+                jax.device_get(metrics).items()}
+            promonet_tpu.utils.log.update(directory, step, scalars=scalars)
+            evaluate(directory, step, state, valid_loader, mesh)
+
+        if step and step % promonet_tpu.CHECKPOINT_INTERVAL == 0:
+            save_checkpoint(directory, state, step, epoch)
+
+        step += 1
+        if step >= steps:
+            break
 
     save_checkpoint(directory, state, step, epoch)
     return state
@@ -309,13 +345,18 @@ def load_checkpoint(directory, state, generator_path):
 ###############################################################################
 
 
-def make_train_step(discriminate=None, adversarial=None):
+def make_train_step(discriminate=None, adversarial=None, resident=False):
     """Build the jitted GAN train step
 
     Loss-warmup gating (DISCRIMINATOR_START_STEP /
     ADVERSARIAL_LOSS_START_STEP, promonet/train/core.py:236,264) is
     resolved statically: the trainer rebuilds the step function at the
     warmup boundary instead of branching inside the program.
+
+    With resident=True the step takes the device-resident corpus
+    (data/resident.py) instead of a host batch: crop sampling, the
+    mel-loss target spectrogram, and the GAN update all fuse into the
+    ONE compiled program — per-step host traffic is a PRNG key.
     """
     if discriminate is None:
         discriminate = promonet_tpu.DISCRIMINATOR_START_STEP == 0
@@ -335,8 +376,7 @@ def make_train_step(discriminate=None, adversarial=None):
         promonet_tpu.HOPSIZE * promonet_tpu.FARGAN_PREVIOUS_FRAMES
         if model == 'fargan' else None)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, batch, rng):
+    def step_body(state, batch, rng):
         audio = batch['audio']
         previous_samples = previous_samples_of(batch)
         gen_args = generator_args(batch)
@@ -461,6 +501,24 @@ def make_train_step(discriminate=None, adversarial=None):
         }
         return new_state, metrics
 
+    if resident:
+        from ..data import resident as resident_module
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, data, rng):
+            sample_rng, step_rng = jax.random.split(rng)
+            batch = resident_module.sample(data, sample_rng)
+            # Mel-loss target from the crop itself (device STFT)
+            batch['spectrograms'] = \
+                promonet_tpu.preprocess.spectrogram.from_audio(
+                    batch['audio'])
+            return step_body(state, batch, step_rng)
+    else:
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, batch, rng):
+            return step_body(state, batch, rng)
+
     return train_step
 
 
@@ -541,8 +599,17 @@ def evaluate(directory, step, state, valid_loader, mesh, max_batches=None):
                         target_pitch=batch['pitch'][0, :length],
                         target_periodicity=batch['periodicity'][0, :length],
                         target_loudness=batch['loudness'][0, :, :length])
-            except Exception:
-                pass
+            except Exception as error:
+                # Figures are a training signal in the reference
+                # (promonet/train/core.py:375-420); report failures once
+                # per run instead of silently dropping them
+                if not getattr(evaluate, '_figure_error_logged', False):
+                    evaluate._figure_error_logged = True
+                    import traceback
+                    print(
+                        f'prosody figure for {stem} failed '
+                        f'(suppressing further reports): {error!r}')
+                    traceback.print_exc()
 
     if not count:
         return

@@ -8,6 +8,10 @@ import jax
 import pytest
 
 import promonet_tpu
+
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
 from promonet_tpu.train.core import (
     create_state,
     example_batch,
@@ -72,6 +76,47 @@ def test_mel_loss_zero_for_identical_audio(small_model):
     spectrograms = promonet_tpu.preprocess.spectrogram.from_audio(audio)
     value = float(loss.mel(spectrograms, audio))
     assert value < 1e-3
+
+
+def test_train_resident_end_to_end(small_model, monkeypatch, tmp_path):
+    """Device-resident corpus training: pack → upload → on-device crops
+
+    Exercises the TPU-native input pipeline (data/resident.py): the
+    whole preprocessed corpus lives in device memory and the jitted
+    train step samples random crops itself — per-step host traffic is
+    one PRNG key.
+    """
+    monkeypatch.setattr(promonet_tpu, 'CACHE_DIR', tmp_path / 'cache')
+    monkeypatch.setattr(promonet_tpu, 'ASSETS_DIR', tmp_path / 'assets')
+    monkeypatch.setattr(
+        promonet_tpu, 'AUGMENT_DIR', tmp_path / 'assets' / 'augmentations')
+    monkeypatch.setattr(promonet_tpu, 'BATCH_SIZE', 2)
+    monkeypatch.setattr(promonet_tpu, 'CHUNK_SIZE', 2048)
+    monkeypatch.setattr(promonet_tpu, 'EVALUATION_INTERVAL', 10)
+    monkeypatch.setattr(promonet_tpu, 'CHECKPOINT_INTERVAL', 10)
+    monkeypatch.setattr(promonet_tpu, 'RESIDENT_DATA', True)
+
+    promonet_tpu.data.synthetic.create(
+        'synthetic', speakers=2, utterances=3, seconds=1.0)
+
+    run_dir = tmp_path / 'run'
+    promonet_tpu.train(run_dir, 'synthetic', steps=2)
+    assert (run_dir / 'generator-00000002').exists()
+
+    # The packed corpus round-trips the cache faithfully
+    from promonet_tpu.data import resident
+    packed = resident.pack('synthetic', 'train')
+    assert packed['audio'].dtype == np.int16
+    assert (packed['lengths'] >= 2048 // promonet_tpu.HOPSIZE).all()
+    batch = resident.sample(
+        {k: jax.numpy.asarray(v) for k, v in packed.items()},
+        jax.random.PRNGKey(0))
+    frames = 2048 // promonet_tpu.HOPSIZE
+    assert batch['audio'].shape == (2, 1, 2048)
+    assert batch['ppg'].shape == (2, promonet_tpu.PPG_CHANNELS, frames)
+    assert batch['loudness'].shape == (
+        2, promonet_tpu.LOUDNESS_BANDS, frames)
+    assert np.isfinite(jax.device_get(batch['audio'])).all()
 
 
 def test_train_end_to_end_synthetic(small_model, monkeypatch, tmp_path):
