@@ -1,9 +1,17 @@
 # Common workflows
 
-.PHONY: test bench dryrun native clean
+.PHONY: test test-sharding test-full bench dryrun native clean
 
-# Full test suite on an 8-device virtual CPU mesh
+# Fast tier: unit/ops/convert/config/native/synthetic tests (< 1 min)
 test:
+	python -m pytest tests/ -x -q -m "not slow"
+
+# The 8-virtual-device data-parallel GAN-step test (compile-heavy)
+test-sharding:
+	python -m pytest tests/test_train.py::test_train_step_data_parallel -x -q
+
+# Everything, including compile-heavy model/training/pipeline tests
+test-full:
 	python -m pytest tests/ -x -q
 
 # Headline benchmark on the attached TPU (prints one JSON line)

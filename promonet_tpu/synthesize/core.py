@@ -296,6 +296,43 @@ def _cached_model_by_key(key):
     return _cached_model.cache[key][0]
 
 
+def precompile(
+    checkpoint=None,
+    buckets=None,
+    stretch_ratios=(1., 0.717, 1.414),
+    speaker=0,
+):
+    """Warm the fused-edit programs for the hot bucket pairs.
+
+    `from_edited_audio` compiles one program per (input-bucket,
+    output-bucket) pair; a fresh process hitting a new pair pays that
+    compile inline. This warms the pairs reachable from each input
+    bucket under the given stretch ratios (identity + the reference's
+    evaluation ratios, promonet/config/defaults.py:204), so serving
+    processes take no compile hits on the hot path. Compiles populate
+    JAX's persistent compilation cache (promonet_tpu/__init__.py), so
+    subsequent processes warm from disk.
+
+    Returns the number of programs compiled.
+    """
+    if buckets is None:
+        buckets = promonet_tpu.INFERENCE_FRAME_BUCKETS
+    hopsize = promonet_tpu.HOPSIZE
+    count = 0
+    for bucket in buckets:
+        audio = np.zeros((1, bucket * hopsize), np.float32)
+        for ratio in stretch_ratios:
+            from_edited_audio(
+                audio,
+                time_stretch_ratio=None if ratio == 1. else ratio,
+                pitch_shift_cents=100.,
+                loudness_scale_db=1.,
+                speaker=speaker,
+                checkpoint=checkpoint)
+            count += 1
+    return count
+
+
 ###############################################################################
 # Internals
 ###############################################################################

@@ -1,0 +1,20 @@
+"""Zero-egress training run on the formant-synthesis corpus.
+
+Reference training budget (promonet/config/defaults.py:361-394) on the
+in-repo corpus (promonet_tpu/data/synthetic.py) — the environment has
+no network access, so DAPS/LibriTTS/VCTK cannot be downloaded.
+Evaluation/checkpoint cadence is thinned to keep the 800k-step run
+wall-clock dominated by the jitted train step.
+"""
+MODULE = 'promonet'
+
+TRAINING_DATASET = 'synthetic'
+
+# In-train evaluation cadence (reference: 2500 / 16 / 10 at
+# promonet/config/defaults.py:292-307): thinned for the long run
+EVALUATION_INTERVAL = 20000
+DEFAULT_EVALUATION_STEPS = 4
+PLOT_EXAMPLES = 2
+
+# Checkpoint cadence (reference: 20000) thinned to bound disk use
+CHECKPOINT_INTERVAL = 100000

@@ -5,6 +5,10 @@ import pytest
 
 import promonet_tpu
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 
 @pytest.fixture
 def small(monkeypatch, tmp_path):

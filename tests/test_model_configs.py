@@ -10,6 +10,10 @@ import jax
 import pytest
 
 import promonet_tpu
+
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
 from promonet_tpu.train.core import (
     create_state,
     example_batch,

@@ -5,6 +5,10 @@ import jax.numpy as jnp
 import pytest
 
 import promonet_tpu
+
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
 from promonet_tpu.train.core import example_batch, generator_args
 
 
