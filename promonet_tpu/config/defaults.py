@@ -415,6 +415,12 @@ MESH_SHAPE = None  # e.g. {'data': 8}
 # bound XLA recompilation
 INFERENCE_FRAME_BUCKETS = [64, 128, 256, 512, 1024, 2048, 4096]
 
+# Default generator checkpoint for synthesis when none is passed.
+# None = resolve the latest checkpoint under RUNS_DIR/CONFIG (the
+# zero-egress analogue of the reference's HuggingFace-hub default model,
+# promonet/synthesize/core.py:234-237); random init if no run exists.
+DEFAULT_CHECKPOINT = None
+
 # Device-resident training data (data/resident.py): pack the whole
 # preprocessed corpus into HBM once and sample crops on device inside
 # the train step, instead of host-feeding batches. None = auto (on for

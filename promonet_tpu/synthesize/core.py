@@ -338,6 +338,25 @@ def precompile(
 ###############################################################################
 
 
+def default_checkpoint():
+    """Resolve the default generator checkpoint, if one exists.
+
+    The reference defaults to a trained model fetched from HuggingFace
+    hub (promonet/synthesize/core.py:234-237). Zero-egress equivalent:
+    `DEFAULT_CHECKPOINT` if configured, else the latest checkpoint of
+    the active config's run directory. None if neither exists (callers
+    fall back to random init for smoke/benchmarking).
+    """
+    configured = getattr(promonet_tpu, 'DEFAULT_CHECKPOINT', None)
+    if configured is not None:
+        return Path(configured)
+    try:
+        return promonet_tpu.utils.checkpoint.latest_path(
+            promonet_tpu.RUNS_DIR / promonet_tpu.CONFIG)
+    except Exception:
+        return None
+
+
 def load_params(checkpoint=None):
     """Load generator parameters from a checkpoint directory or file"""
     if checkpoint is None:
@@ -357,11 +376,15 @@ def load_params(checkpoint=None):
 
 
 def _model_key(checkpoint):
+    if checkpoint is None:
+        checkpoint = default_checkpoint()
     return str(checkpoint) if checkpoint is not None else '__random__'
 
 
 def _cached_model(checkpoint):
     """Model cache keyed on checkpoint (promonet/synthesize/core.py:226-248)"""
+    if checkpoint is None:
+        checkpoint = default_checkpoint()
     if not hasattr(_cached_model, 'cache'):
         _cached_model.cache = {}
     key = _model_key(checkpoint)
