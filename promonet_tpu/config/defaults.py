@@ -415,6 +415,13 @@ MESH_SHAPE = None  # e.g. {'data': 8}
 # bound XLA recompilation
 INFERENCE_FRAME_BUCKETS = [64, 128, 256, 512, 1024, 2048, 4096]
 
+# Optimizer steps fused into one dispatch when training from a
+# device-resident corpus (lax.scan inside the compiled step; see
+# train/core.py:steps_per_dispatch). None = auto (largest divisor ≤ 32
+# of all step cadences). Amortizes per-dispatch latency on tunneled or
+# contended TPU attachments.
+STEPS_PER_DISPATCH = None
+
 # Default generator checkpoint for synthesis when none is passed.
 # None = resolve the latest checkpoint under RUNS_DIR/CONFIG (the
 # zero-egress analogue of the reference's HuggingFace-hub default model,

@@ -106,7 +106,8 @@ def train(
         return make_train_step(
             discriminate=step >= promonet_tpu.DISCRIMINATOR_START_STEP,
             adversarial=step >= promonet_tpu.ADVERSARIAL_LOSS_START_STEP,
-            resident=resident)
+            resident=resident,
+            total_steps=steps)
 
     boundaries = sorted({
         promonet_tpu.DISCRIMINATOR_START_STEP,
@@ -134,6 +135,8 @@ def train(
                     yield promonet_tpu.parallel.shard_batch(batch, mesh)
                 epoch += 1
 
+    advance = steps_per_dispatch(steps) if resident else 1
+
     for batch in batches():
 
         if step in boundaries:
@@ -142,7 +145,7 @@ def train(
         rng, step_rng = jax.random.split(rng)
         state, metrics = step_fn(state, batch, step_rng)
 
-        if step and step % progress_interval == 0:
+        if step and step % progress_interval < advance:
             now = time.time()
             rate = (step - progress_step) / max(now - progress_clock, 1e-9)
             print(
@@ -161,7 +164,7 @@ def train(
         if step and step % promonet_tpu.CHECKPOINT_INTERVAL == 0:
             save_checkpoint(directory, state, step, epoch)
 
-        step += 1
+        step += advance
         if step >= steps:
             break
 
@@ -345,7 +348,40 @@ def load_checkpoint(directory, state, generator_path):
 ###############################################################################
 
 
-def make_train_step(discriminate=None, adversarial=None, resident=False):
+def steps_per_dispatch(total_steps=None):
+    """Optimizer steps fused into one dispatch (resident mode).
+
+    Auto (STEPS_PER_DISPATCH=None): the largest K ≤ 32 that divides
+    every step-count cadence — evaluation/checkpoint intervals, the
+    loss-warmup boundaries, and the total budget — so every interval
+    event lands exactly on a dispatch boundary.
+    """
+    import math
+
+    configured = getattr(promonet_tpu, 'STEPS_PER_DISPATCH', None)
+    if configured is not None:
+        return max(1, int(configured))
+    cadence = math.gcd(
+        promonet_tpu.EVALUATION_INTERVAL, promonet_tpu.CHECKPOINT_INTERVAL)
+    for boundary in (
+        promonet_tpu.DISCRIMINATOR_START_STEP,
+        promonet_tpu.ADVERSARIAL_LOSS_START_STEP,
+        total_steps or 0,
+    ):
+        if boundary:
+            cadence = math.gcd(cadence, boundary)
+    for k in range(min(32, cadence), 0, -1):
+        if cadence % k == 0:
+            return k
+    return 1
+
+
+def make_train_step(
+    discriminate=None,
+    adversarial=None,
+    resident=False,
+    total_steps=None,
+):
     """Build the jitted GAN train step
 
     Loss-warmup gating (DISCRIMINATOR_START_STEP /
@@ -504,15 +540,36 @@ def make_train_step(discriminate=None, adversarial=None, resident=False):
     if resident:
         from ..data import resident as resident_module
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, data, rng):
-            sample_rng, step_rng = jax.random.split(rng)
+        def sampled_step(state, data, key):
+            sample_rng, step_rng = jax.random.split(key)
             batch = resident_module.sample(data, sample_rng)
             # Mel-loss target from the crop itself (device STFT)
             batch['spectrograms'] = \
                 promonet_tpu.preprocess.spectrogram.from_audio(
                     batch['audio'])
             return step_body(state, batch, step_rng)
+
+        # Amortize dispatch latency: scan K optimizer steps inside ONE
+        # compiled program (viable only because sampling is on-device —
+        # there is no host batch to feed per step). On a tunneled or
+        # contended attachment, per-dispatch overhead otherwise rivals
+        # the 17 ms step itself.
+        k = steps_per_dispatch(total_steps)
+        if k == 1:
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def train_step(state, data, rng):
+                return sampled_step(state, data, rng)
+        else:
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def train_step(state, data, rng):
+                def body(carry, key):
+                    return sampled_step(carry, data, key)
+                state, metrics = jax.lax.scan(
+                    body, state, jax.random.split(rng, k))
+                # Report the final step's losses of the window
+                return state, jax.tree.map(lambda m: m[-1], metrics)
     else:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
