@@ -146,6 +146,9 @@ def train(
         state, metrics = step_fn(state, batch, step_rng)
 
         if step and step % progress_interval < advance:
+            # Sync so the rate is true device throughput, not the async
+            # enqueue rate — this also bounds the in-flight queue
+            jax.block_until_ready(metrics)
             now = time.time()
             rate = (step - progress_step) / max(now - progress_clock, 1e-9)
             print(

@@ -35,11 +35,21 @@ def load(path, template=None):
     If `template` (a matching pytree of arrays) is given, restoration
     preserves its structure/dtypes; otherwise orbax restores as saved.
     """
+    import logging
+
     path = Path(path).absolute()
     checkpointer = ocp.StandardCheckpointer()
     if template is not None:
         return checkpointer.restore(path, template)
-    return checkpointer.restore(path)
+    # Template-free restore is intentional here (the payload layout is
+    # ours); scope-silence orbax's advisory warning about it
+    absl_logger = logging.getLogger('absl')
+    level = absl_logger.level
+    absl_logger.setLevel(logging.ERROR)
+    try:
+        return checkpointer.restore(path)
+    finally:
+        absl_logger.setLevel(level)
 
 
 def latest_path(directory, prefix='generator-*'):

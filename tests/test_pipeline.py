@@ -233,6 +233,29 @@ def test_speaker_embedding_fallback(audio):
     assert np.isclose(np.linalg.norm(embedding), 1., atol=1e-4)
 
 
+def test_speaker_encoder_embedding(audio):
+    """Trained x-vector-style encoder: unit-norm, deterministic, and
+    invariant to trailing padding (masked stats pooling)"""
+    from promonet_tpu.preprocess import speaker
+    one = speaker.encoder_embedding(np.asarray(audio))
+    two = speaker.encoder_embedding(np.asarray(audio))
+    assert one.shape == (promonet_tpu.WAVLM_EMBEDDING_CHANNELS,)
+    assert np.isclose(np.linalg.norm(one), 1., atol=1e-4)
+    np.testing.assert_allclose(one, two)
+    # Stats pooling is masked: junk beyond the valid frame count does
+    # not leak into the embedding
+    encoder, params = speaker._encoder()
+    rng = np.random.default_rng(0)
+    mels = rng.standard_normal((1, 256, promonet_tpu.NUM_MELS))
+    longer = np.concatenate(
+        [mels, 100. * rng.standard_normal(
+            (1, 128, promonet_tpu.NUM_MELS))], axis=1)
+    count = np.asarray([200], np.int32)
+    short_out = np.asarray(encoder.module.apply(params, mels, count))
+    long_out = np.asarray(encoder.module.apply(params, longer, count))
+    np.testing.assert_allclose(short_out, long_out, rtol=1e-5, atol=1e-5)
+
+
 def test_harmonics(audio):
     harmonics = promonet_tpu.preprocess.harmonics.from_audio(
         np.asarray(audio), decoder='viterbi')
