@@ -57,13 +57,20 @@ def train_step_benchmark():
     state = create_state(jax.random.PRNGKey(0))
     step_fn = make_train_step()
     rng = jax.random.PRNGKey(1)
-    state, _ = step_fn(state, batch, rng)
-    jax.block_until_ready(jax.tree.leaves(state)[0])
+
+    # The sync must MATERIALIZE a value: on tunneled TPU attachments
+    # block_until_ready can return before execution completes
+    # (measured on the axon plugin), silently underreporting wall time
+    def run():
+        new_state, metrics = step_fn(state, batch, rng)
+        float(jax.device_get(metrics['loss/generator/total']))
+        return new_state
+
+    state = run()
     steps = []
     for _ in range(5):
         start = time.perf_counter()
-        state, _ = step_fn(state, batch, rng)
-        jax.block_until_ready(jax.tree.leaves(state)[0])
+        state = run()
         steps.append(time.perf_counter() - start)
     print(f'TRAIN_STEP_MS {min(steps) * 1000:.1f}')
 
@@ -102,13 +109,32 @@ def mfu_benchmark(frames):
         analysis = analysis[0]
     flops = float(analysis.get('flops', 0.))
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # Amortize dispatch latency and force real execution: REPEAT
+    # forwards inside one program with a sequential data dependence
+    # (block_until_ready can return early on tunneled attachments, and
+    # a device_get round-trip would swamp a single forward)
+    import jax.numpy as jnp
+
+    repeat = 50
+    loudness, pitch = args[0], args[1]
+    rest = args[2:]
+
+    @jax.jit
+    def chained(loudness, pitch, *rest):
+        def body(carry, _):
+            out = model.apply(
+                params, loudness, pitch + carry * 1e-20, *rest)
+            return jnp.mean(out), None
+        carry, _ = jax.lax.scan(
+            body, jnp.float32(0.), None, length=repeat)
+        return carry
+
+    float(jax.device_get(chained(loudness, pitch, *rest)))  # compile
     walls = []
-    for _ in range(5):
+    for _ in range(3):
         start = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        walls.append(time.perf_counter() - start)
+        float(jax.device_get(chained(loudness, pitch, *rest)))
+        walls.append((time.perf_counter() - start) / repeat)
     wall = min(walls)
 
     kind = jax.devices()[0].device_kind.lower()

@@ -18,10 +18,23 @@ EVALUATION_INTERVAL = 50000
 DEFAULT_EVALUATION_STEPS = 4
 PLOT_EXAMPLES = 2
 
-# 500 optimizer steps per compiled dispatch: measured per-dispatch
-# latency on this tunneled attachment is seconds; at K=500 it fully
-# overlaps device execution (depth-2 pipeline in the train loop)
-STEPS_PER_DISPATCH = 500
+# 50 optimizer steps per compiled dispatch: amortizes the per-dispatch
+# tunnel latency while keeping each program's runtime ~10 s (very long
+# single programs have crashed the attachment's TPU worker)
+STEPS_PER_DISPATCH = 50
 
-# Checkpoint cadence (reference: 20000) thinned to bound disk use
-CHECKPOINT_INTERVAL = 100000
+# Checkpoint cadence (reference: 20000)
+CHECKPOINT_INTERVAL = 10000
+
+# Step budget. The reference trains 800k steps over days on one GPU
+# (promonet/config/defaults.py:381); the HONESTLY-measured GAN step on
+# this chip is ~190-260 ms at the reference batch size (bench.py
+# train_step; earlier 16.8 ms readings were an async-dispatch artifact
+# of block_until_ready on the tunneled attachment), so the in-round
+# budget is wall-clock-bound. Checkpoints land every 10k steps; the
+# run auto-resumes, so the budget extends across sessions.
+STEPS = 100000
+
+# Activations fit single-chip HBM at this model/batch size without
+# rematerialization; skipping remat saves the backward recompute
+REMAT = False

@@ -406,6 +406,12 @@ OPTIMIZER = {
 # Replaces the reference's CUDA AMP autocast (no loss scaling needed on TPU).
 PRECISION = 'bfloat16'
 
+# Rematerialize conv activations in the training backward pass
+# (jax.checkpoint). Trades ~25-35% extra compute for activation memory;
+# disable when the batch fits HBM without it (single-chip v5e at the
+# reference batch size does).
+REMAT = True
+
 # Device mesh axis sizes. None means "use all available devices" on the
 # data axis. Training shards the batch over the 'data' axis; gradient
 # all-reduce rides ICI via XLA sharding propagation.

@@ -137,6 +137,18 @@ def train(
 
     advance = steps_per_dispatch(steps) if resident else 1
 
+    # Cap in-flight dispatches: async enqueue without backpressure can
+    # queue hundreds of programs ahead of the device, which wedges
+    # tunneled attachments (observed: client blocked, chip idle). Depth
+    # 2 still overlaps host dispatch with device execution. The sync
+    # must MATERIALIZE a value: on tunneled backends block_until_ready
+    # returns before execution completes (measured), device_get does not.
+    import collections
+    pending = collections.deque()
+
+    def sync(metrics):
+        return float(jax.device_get(metrics['loss/generator/total']))
+
     for batch in batches():
 
         if step in boundaries:
@@ -144,14 +156,18 @@ def train(
 
         rng, step_rng = jax.random.split(rng)
         state, metrics = step_fn(state, batch, step_rng)
+        pending.append(metrics)
+        if len(pending) > 2:
+            sync(pending.popleft())
 
         if step and step % progress_interval < advance:
-            # Sync so the rate is true device throughput, not the async
-            # enqueue rate — this also bounds the in-flight queue
-            jax.block_until_ready(metrics)
+            # Sync so the rate is true device throughput, not the
+            # async enqueue rate
+            sync(metrics)
             now = time.time()
             rate = (step - progress_step) / max(now - progress_clock, 1e-9)
             print(
+                f'[{time.strftime("%H:%M:%S")}] '
                 f'step {step}/{steps} · {rate:.1f} steps/s · '
                 f'eta {(steps - step) / max(rate, 1e-9) / 3600:.2f} h',
                 flush=True)
@@ -270,8 +286,9 @@ def previous_samples_of(batch):
 
 def create_state(rng):
     """Initialize generator/discriminator parameters and optimizer state"""
-    generator = generator_module(remat=True)
-    discriminators = promonet_tpu.models.Discriminator.create(remat=True)
+    remat = bool(promonet_tpu.REMAT)
+    generator = generator_module(remat=remat)
+    discriminators = promonet_tpu.models.Discriminator.create(remat=remat)
 
     batch = example_batch()
     g_rng, d_rng, noise_rng = jax.random.split(rng, 3)
@@ -402,10 +419,13 @@ def make_train_step(
     if adversarial is None:
         adversarial = promonet_tpu.ADVERSARIAL_LOSS_START_STEP == 0
 
-    # Rematerialized variants: full-batch GAN training does not fit HBM
-    # storing every conv activation for the backward pass
-    generator = generator_module(remat=True)
-    discriminators = promonet_tpu.models.Discriminator.create(remat=True)
+    # Rematerialized variants when configured (REMAT): full-batch GAN
+    # training on small-HBM parts does not fit storing every conv
+    # activation for the backward pass; with ample HBM, skipping remat
+    # saves the recompute FLOPs
+    remat = bool(promonet_tpu.REMAT)
+    generator = generator_module(remat=remat)
+    discriminators = promonet_tpu.models.Discriminator.create(remat=remat)
     g_optimizer = build_optimizer()
     d_optimizer = build_optimizer()
     loss = loss_module
