@@ -312,6 +312,11 @@ def test_evaluate_adapt(corpus, monkeypatch):
     monkeypatch.setattr(promonet_tpu, 'HIFIGAN_UPSAMPLE_INITIAL_SIZE', 64)
     monkeypatch.setattr(promonet_tpu, 'MULTI_PERIOD_DISCRIMINATOR', False)
     monkeypatch.setattr(promonet_tpu, 'EVALUATION_RATIOS', [])
+    # Small training shapes: without these the one-step adaptation
+    # compiles the full batch-64 × 16384-sample GAN step on CPU (hours)
+    monkeypatch.setattr(promonet_tpu, 'BATCH_SIZE', 2)
+    monkeypatch.setattr(promonet_tpu, 'CHUNK_SIZE', 2048)
+    monkeypatch.setattr(promonet_tpu, 'MESH_SHAPE', {'data': 2})
     monkeypatch.setattr(promonet_tpu, 'STEPS', 1)
     monkeypatch.setattr(promonet_tpu, 'ADAPTATION_STEPS', 1)
     monkeypatch.setattr(promonet_tpu, 'CHECKPOINT_INTERVAL', 10 ** 9)
