@@ -160,7 +160,7 @@ def train(
     # Held-out split by window
     rng = np.random.default_rng(promonet_tpu.RANDOM_SEED)
     order = rng.permutation(len(examples))
-    num_valid = max(1, len(order) // 20)
+    num_valid = max(2, len(order) // 20)
     valid_idx, train_idx = order[:num_valid], order[num_valid:]
 
     module = PPGEncoder(num_phonemes=promonet_tpu.PPG_CHANNELS)

@@ -20,6 +20,20 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _isolated_runs_dir(tmp_path, monkeypatch):
+    """Point RUNS_DIR away from the repo's real training runs.
+
+    `synthesize.default_checkpoint` resolves the active config's latest
+    run checkpoint when no checkpoint is passed; tests must exercise
+    the random-init fallback deterministically, not whatever training
+    run happens to live under ./runs.
+    """
+    import promonet_tpu
+    monkeypatch.setattr(promonet_tpu, 'RUNS_DIR', tmp_path / 'runs')
+    yield
+
+
 @pytest.fixture(scope='session')
 def rng():
     return np.random.default_rng(1234)

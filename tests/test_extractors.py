@@ -19,8 +19,11 @@ def corpus(tmp_path_factory):
     old = promonet_tpu.CACHE_DIR, promonet_tpu.ASSETS_DIR
     promonet_tpu.CACHE_DIR = tmp / 'cache'
     promonet_tpu.ASSETS_DIR = tmp / 'assets'
+    # Enough utterances that the 5% held-out window split is more than
+    # one window — a single-window validation set made the training
+    # assertion a coin flip
     synthetic.create(
-        'synthetic', speakers=2, utterances=4, seconds=1.2,
+        'synthetic', speakers=2, utterances=10, seconds=1.5,
         preprocess=False)
     yield tmp
     promonet_tpu.CACHE_DIR, promonet_tpu.ASSETS_DIR = old
