@@ -351,10 +351,28 @@ def default_checkpoint():
     if configured is not None:
         return Path(configured)
     try:
-        return promonet_tpu.utils.checkpoint.latest_path(
+        resolved = promonet_tpu.utils.checkpoint.latest_path(
             promonet_tpu.RUNS_DIR / promonet_tpu.CONFIG)
     except Exception:
         return None
+    if resolved is None:
+        return None
+
+    # A run checkpoint may have been trained under a different config
+    # (e.g. another speaker count); an implicit default must not crash
+    # synthesis — validate shapes once per path and fall back
+    if not hasattr(default_checkpoint, '_compatible'):
+        default_checkpoint._compatible = {}
+    key = str(resolved)
+    if key not in default_checkpoint._compatible:
+        default_checkpoint._compatible[key] = _params_compatible(
+            promonet_tpu.models.Generator.create(), load_params(resolved))
+        if not default_checkpoint._compatible[key]:
+            print(
+                f'default checkpoint {resolved} does not match the active '
+                'configuration (load its config, e.g. '
+                'PROMONET_TPU_CONFIG=<run>/<config>.py); using random init')
+    return resolved if default_checkpoint._compatible[key] else None
 
 
 def load_params(checkpoint=None):
@@ -379,6 +397,23 @@ def _model_key(checkpoint):
     if checkpoint is None:
         checkpoint = default_checkpoint()
     return str(checkpoint) if checkpoint is not None else '__random__'
+
+
+def _params_compatible(model, params):
+    """Whether loaded parameters match the active config's shapes"""
+    try:
+        expected = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0), *generator_args(example_batch())))
+        flat_loaded = dict(
+            (jax.tree_util.keystr(path), np.shape(leaf))
+            for path, leaf in jax.tree_util.tree_leaves_with_path(params))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(expected):
+            if flat_loaded.get(jax.tree_util.keystr(path)) != leaf.shape:
+                return False
+        return True
+    except Exception:
+        return False
 
 
 def _cached_model(checkpoint):
