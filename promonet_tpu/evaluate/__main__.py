@@ -17,6 +17,9 @@ def parse_args():
     parser.add_argument(
         '--gpu', type=int, help='Unused (API parity); device is the TPU')
     parser.add_argument(
+        '--max_stems', type=int,
+        help='Cap evaluated utterances per speaker (bounds wall clock)')
+    parser.add_argument(
         '--adapt',
         action='store_true',
         default=None,
