@@ -622,12 +622,14 @@ def evaluate(directory, step, state, valid_loader, mesh, max_batches=None):
     loss = loss_module
 
     @jax.jit
-    def reconstruct(g_params, batch):
+    def reconstruct(g_params, batch, frames):
         generated = generator.apply(
             g_params,
             *generator_args(batch),
             previous_samples=previous_samples_of(batch))
-        return generated, loss.mel(batch['spectrograms'], generated)
+        mask = jnp.arange(batch['spectrograms'].shape[-1]) < frames
+        return generated, loss.mel(
+            batch['spectrograms'], generated, mask[None])
 
     metrics = promonet_tpu.evaluate.Metrics(include_wer=False)
     mel_total, count = 0., 0
@@ -639,8 +641,11 @@ def evaluate(directory, step, state, valid_loader, mesh, max_batches=None):
         # Validation batches are batch-size-1 (promonet/data/sampler.py:
         # 18-22) and may not divide the data axis: replicate them
         device_batch = promonet_tpu.parallel.replicate_batch(batch, mesh)
+        length = int(batch['lengths'][0])
         generated, mel_loss = reconstruct(
-            state['generator']['params'], device_batch)
+            state['generator']['params'],
+            device_batch,
+            jnp.int32(length))
         mel_total += float(mel_loss)
         count += 1
 
@@ -648,7 +653,6 @@ def evaluate(directory, step, state, valid_loader, mesh, max_batches=None):
             continue
 
         # Re-extract features from the generated audio and score
-        length = int(batch['lengths'][0])
         waveform = np.asarray(
             generated)[0, :, :length * promonet_tpu.HOPSIZE]
         predicted = promonet_tpu.preprocess.from_audio(

@@ -122,14 +122,21 @@ def signal(y_true, y_pred):
 ###############################################################################
 
 
-def mel(spectrograms, generated):
+def mel(spectrograms, generated, mask=None):
     """L1 log-mel loss between target linear spectrograms and generated audio
 
-    Reference: promonet/train/core.py:277-305.
+    Reference: promonet/train/core.py:277-305. `mask` (..., frames)
+    excludes frames from the loss — bucket-padded validation batches
+    carry all-zero spectrogram columns whose log-mels are -inf (the
+    reference never pads, promonet/data/sampler.py:18-22).
     """
     threshold = (
         promonet_tpu.LOG_DYNAMIC_RANGE_COMPRESSION_THRESHOLD
         if promonet_tpu.SPARSE_MEL_LOSS else None)
+    if mask is not None:
+        # Keep the masked-out columns finite so inf * 0 cannot poison
+        # the reduction
+        spectrograms = jnp.where(mask[..., None, :], spectrograms, 1.)
     mels = promonet_tpu.preprocess.spectrogram.linear_to_mel(
         spectrograms.astype(jnp.float32), threshold)
     generated_mels = promonet_tpu.preprocess.spectrogram.from_audio(
@@ -139,4 +146,10 @@ def mel(spectrograms, generated):
         generated_mels = (
             generated_mels +
             promonet_tpu.LOG_DYNAMIC_RANGE_COMPRESSION_THRESHOLD)
-    return jnp.mean(jnp.abs(mels - generated_mels))
+    difference = jnp.abs(mels - generated_mels)
+    if mask is None:
+        return jnp.mean(difference)
+    weights = jnp.broadcast_to(mask[..., None, :], difference.shape)
+    return (
+        jnp.sum(difference * weights) /
+        jnp.maximum(jnp.sum(weights), 1.))

@@ -78,6 +78,30 @@ def test_mel_loss_zero_for_identical_audio(small_model):
     assert value < 1e-3
 
 
+def test_mel_loss_masked_padding(small_model):
+    """Zero-padded spectrogram columns poison the unmasked loss with
+    inf (log of zero); the masked variant stays finite and small"""
+    import jax.numpy as jnp
+    from promonet_tpu.train import loss
+    audio = np.random.default_rng(0).standard_normal(
+        (1, 1, 4096)).astype(np.float32) * 0.3
+    spec = np.asarray(promonet_tpu.preprocess.spectrogram.from_audio(audio))
+    if spec.ndim == 2:
+        spec = spec[None]
+    frames = spec.shape[-1]
+    padded = np.concatenate([spec, np.zeros_like(spec[..., :8])], axis=-1)
+    pad_audio = np.concatenate(
+        [audio,
+         np.zeros((1, 1, 8 * promonet_tpu.HOPSIZE), np.float32)], axis=-1)
+    unmasked = float(loss.mel(jnp.asarray(padded), jnp.asarray(pad_audio)))
+    mask = (np.arange(frames + 8) < frames)[None]
+    masked = float(
+        loss.mel(
+            jnp.asarray(padded), jnp.asarray(pad_audio), jnp.asarray(mask)))
+    assert not np.isfinite(unmasked)
+    assert np.isfinite(masked) and masked < 0.05
+
+
 def test_train_resident_end_to_end(small_model, monkeypatch, tmp_path):
     """Device-resident corpus training: pack → upload → on-device crops
 
