@@ -11,10 +11,30 @@ MODULE = 'promonet'
 TRAINING_DATASET = 'synthetic'
 
 # In-train evaluation cadence (reference: 2500 / 16 / 10 at
-# promonet/config/defaults.py:292-307): thinned for the long run
-EVALUATION_INTERVAL = 20000
+# promonet/config/defaults.py:292-307): thinned for the long run —
+# each eval synchronizes the dispatch pipeline and host-loads
+# validation utterances over the (narrow) attachment
+EVALUATION_INTERVAL = 50000
 DEFAULT_EVALUATION_STEPS = 4
 PLOT_EXAMPLES = 2
 
-# Checkpoint cadence (reference: 20000) thinned to bound disk use
-CHECKPOINT_INTERVAL = 100000
+# 50 optimizer steps per compiled dispatch: amortizes the per-dispatch
+# tunnel latency while keeping each program's runtime ~10 s (very long
+# single programs have crashed the attachment's TPU worker)
+STEPS_PER_DISPATCH = 50
+
+# Checkpoint cadence (reference: 20000)
+CHECKPOINT_INTERVAL = 10000
+
+# Step budget. The reference trains 800k steps over days on one GPU
+# (promonet/config/defaults.py:381); the HONESTLY-measured GAN step on
+# this chip is ~190-260 ms at the reference batch size (bench.py
+# train_step; earlier 16.8 ms readings were an async-dispatch artifact
+# of block_until_ready on the tunneled attachment), so the in-round
+# budget is wall-clock-bound. Checkpoints land every 10k steps; the
+# run auto-resumes, so the budget extends across sessions.
+STEPS = 100000
+
+# Activations fit single-chip HBM at this model/batch size without
+# rematerialization; skipping remat saves the backward recompute
+REMAT = False
