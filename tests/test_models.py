@@ -120,3 +120,39 @@ def test_slice_segments():
     # Negative start -> left fill
     np.testing.assert_allclose(
         np.asarray(sliced[1, 0]), [0., 0., 12., 13.])
+
+
+def test_default_checkpoint_resolution(monkeypatch, tmp_path):
+    """Implicit default checkpoints resolve from RUNS_DIR/CONFIG and
+    are rejected (None) when their shapes don't match the active config
+
+    Reference behavior: synthesize defaults to a published trained
+    model (promonet/synthesize/core.py:234-237); zero-egress, the
+    run directory's latest checkpoint plays that role.
+    """
+    import jax
+    import promonet_tpu
+    from promonet_tpu.synthesize import core
+    from promonet_tpu.train.core import example_batch, generator_args
+
+    monkeypatch.setattr(promonet_tpu, 'HIFIGAN_UPSAMPLE_INITIAL_SIZE', 64)
+    monkeypatch.setattr(promonet_tpu, 'RUNS_DIR', tmp_path)
+    run = tmp_path / promonet_tpu.CONFIG
+
+    # No run directory → no default
+    assert core.default_checkpoint() is None
+
+    # A checkpoint matching the active config resolves
+    model = promonet_tpu.models.Generator.create()
+    params = model.init(
+        jax.random.PRNGKey(0), *generator_args(example_batch()))
+    promonet_tpu.utils.checkpoint.save(
+        run / 'generator-00000123', jax.device_get(params))
+    core.default_checkpoint._compatible = {}
+    resolved = core.default_checkpoint()
+    assert resolved is not None and resolved.name == 'generator-00000123'
+
+    # A checkpoint from a different architecture config is rejected
+    monkeypatch.setattr(promonet_tpu, 'HIFIGAN_UPSAMPLE_INITIAL_SIZE', 32)
+    core.default_checkpoint._compatible = {}
+    assert core.default_checkpoint() is None
