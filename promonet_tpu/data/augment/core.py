@@ -14,19 +14,23 @@ import promonet_tpu
 
 
 def sample(count, rng):
-    """Sample augmentation ratios (promonet/data/augment/core.py:83-93)"""
+    """Sample augmentation ratios (promonet/data/augment/core.py:83-93)
+
+    Log-uniform in [AUGMENTATION_RATIO_MIN, MAX]. The only collision that
+    matters is the two-decimal key 100, which would alias the un-augmented
+    stem suffix '-100' — nudge those to 101 (ratio 1.01). Ratios may repeat
+    across stems (each stem owns its augmented file), matching the
+    reference, which only guards the ==100 case.
+    """
     ratios = 2 ** rng.uniform(
         np.log2(promonet_tpu.AUGMENTATION_RATIO_MIN),
         np.log2(promonet_tpu.AUGMENTATION_RATIO_MAX),
         count)
-    # Dedup to two-decimal keys by nudging collisions
-    keys = set()
     result = []
     for ratio in ratios:
         key = int(round(ratio * 100))
-        while key in keys:
-            key += 1
-        keys.add(key)
+        if key == 100:
+            key = 101
         result.append(key / 100.)
     return result
 

@@ -126,13 +126,38 @@ def _band_average(loudness, bands):
         for band in range(bands)])
 
 
-def to_device(packed):
-    """Upload the packed corpus to the device once"""
+def to_device(packed, mesh=None):
+    """Upload the packed corpus to the device(s) once.
+
+    With a mesh whose 'data' axis has size > 1, the stem axis is sharded
+    over that axis (per-device stem subsets — corpus HBM scales down as
+    1/D and crop sampling stays device-local, see `sample_sharded`).
+    Stem count is padded to a multiple of the axis size by cycling
+    existing records, so every shard holds only valid stems.
+    """
+    data_size = (
+        mesh.shape['data']
+        if mesh is not None and 'data' in mesh.axis_names else 1)
+    if data_size > 1:
+        count = len(packed['lengths'])
+        padded = -(-count // data_size) * data_size
+        if padded != count:
+            extra = np.arange(padded - count) % count
+            packed = {
+                k: np.concatenate([v, v[extra]]) for k, v in packed.items()}
+        from jax.sharding import NamedSharding, PartitionSpec
+        sharding = NamedSharding(mesh, PartitionSpec('data'))
+    else:
+        sharding = None
     nbytes = sum(a.nbytes for a in packed.values())
     print(
         f'resident dataset: {len(packed["lengths"])} stems, '
-        f'{nbytes / 1e9:.2f} GB → device', flush=True)
-    return {k: jax.device_put(v) for k, v in packed.items()}
+        f'{nbytes / 1e9:.2f} GB → device'
+        + (f' (sharded over data={data_size})' if data_size > 1 else ''),
+        flush=True)
+    if sharding is None:
+        return {k: jax.device_put(v) for k, v in packed.items()}
+    return {k: jax.device_put(v, sharding) for k, v in packed.items()}
 
 
 def sample(data, rng, batch_size=None):
@@ -184,3 +209,37 @@ def sample(data, rng, batch_size=None):
         'spectral_balance_ratios': data['spectral_balance_ratios'][idx],
         'loudness_ratios': data['loudness_ratios'][idx],
     }
+
+
+def sample_sharded(data, rng, mesh, batch_size=None):
+    """Multi-chip batch sampling over a stem-sharded resident corpus.
+
+    Each device draws batch_size/D crops from its LOCAL stem subset
+    (shard_map over the mesh's 'data' axis, per-device RNG via
+    fold_in(axis_index)), so sampling involves no collectives and the
+    resulting batch is already sharded along its leading axis — exactly
+    the layout the data-parallel train step consumes. Stem choice is
+    unbiased because pack order is unrelated to content and `to_device`
+    distributes stems round-robin.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if batch_size is None:
+        batch_size = promonet_tpu.BATCH_SIZE
+    data_size = mesh.shape['data']
+    if batch_size % data_size != 0:
+        raise ValueError(
+            f'batch size {batch_size} must divide over data axis '
+            f'{data_size}')
+    local = batch_size // data_size
+
+    def local_sample(shard, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index('data'))
+        return sample(shard, key, local)
+
+    return shard_map(
+        local_sample,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P('data'), data), P()),
+        out_specs=P('data'))(data, rng)

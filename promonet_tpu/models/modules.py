@@ -30,6 +30,39 @@ def leaky_relu(x, slope):
     return jnp.where(x >= 0, x, slope * x)
 
 
+def conv1d_shifted_dots(x, kernel, dilation, padding, dtype):
+    """Stride-1 1-D convolution as a sum of k time-shifted matmuls.
+
+    XLA's TPU lowering of `conv_general_dilated` leaves most of the MXU
+    idle at vocoder channel widths (measured on v5e, k=11: 7 TF/s at
+    C=32 and 87 TF/s at C=128). Expressing the same op as k shifted
+    slices each contracted with one kernel tap — with fp32 accumulation,
+    matching conv semantics — reaches 70-110 TF/s across all widths, so
+    it is the unconditional lowering for stride-1, groups-1 convs.
+
+    Arguments
+        x: (B, T, C_in)
+        kernel: (k, C_in, C_out)
+        dilation / padding: conv parameters
+        dtype: compute dtype (params cast in, output cast back)
+    """
+    k = kernel.shape[0]
+    out_len = x.shape[1] + 2 * padding - (k - 1) * dilation
+    x = x.astype(dtype)
+    kernel = kernel.astype(dtype)
+    if padding:
+        x = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+    acc = None
+    for i in range(k):
+        part = jax.lax.dot_general(
+            jax.lax.slice_in_dim(x, i * dilation, i * dilation + out_len, 1, 1),
+            kernel[i],
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc.astype(dtype)
+
+
 def _weight_norm_params(module, shape, norm_axes, fan_in):
     """Create (v, g) weight-norm parameters with torch-equivalent init"""
     v = module.param('kernel_v', torch_conv_init(fan_in), shape)
@@ -63,14 +96,18 @@ class WNConv1d(nn.Module):
         fan_in = (in_channels // self.groups) * self.kernel_size
         # torch weight_norm dim=0 on Conv1d (out, in, k): per-out-channel
         kernel = _weight_norm_params(self, shape, (0, 1), fan_in)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(self.stride,),
-            padding=[(self.padding, self.padding)],
-            rhs_dilation=(self.dilation,),
-            dimension_numbers=('NHC', 'HIO', 'NHC'),
-            feature_group_count=self.groups)
+        if self.stride == 1 and self.groups == 1:
+            y = conv1d_shifted_dots(
+                x, kernel, self.dilation, self.padding, self.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(self.stride,),
+                padding=[(self.padding, self.padding)],
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=('NHC', 'HIO', 'NHC'),
+                feature_group_count=self.groups)
         if self.use_bias:
             bias = self.param('bias', torch_conv_init(fan_in), (self.features,))
             y = y + bias.astype(self.dtype)
@@ -81,10 +118,20 @@ class WNConvTranspose1d(nn.Module):
     """Weight-normalized transposed 1-D convolution over (B, T, C)
 
     Matches torch.nn.ConvTranspose1d(kernel, stride, padding=p): output
-    length (T - 1) * stride - 2p + kernel. Implemented as an
-    lhs-dilated convolution, which XLA lowers to the same MXU work.
-    torch weight_norm dim=0 normalizes per INPUT channel for transposed
-    convs; replicated here.
+    length (T - 1) * stride - 2p + kernel. torch weight_norm dim=0
+    normalizes per INPUT channel for transposed convs; replicated here.
+
+    Two lowering strategies with an identical parameter tree:
+
+    - `subpixel=True` (default): exact polyphase decomposition. The
+      transposed conv's output phase r (= n mod stride) only reads every
+      stride-th kernel tap, so the whole op is a DENSE stride-1
+      convolution onto stride*features channels followed by a
+      depth-to-space reshape. Dense convs tile the MXU directly; XLA's
+      lowering of lhs-dilated convs multiplies the inserted zeros
+      (round-2 generator MFU was 13.7% with the dilated path).
+    - `subpixel=False`: the direct lhs-dilated convolution (kept as the
+      semantics reference; the parity test checks the two agree).
     """
 
     features: int
@@ -92,6 +139,7 @@ class WNConvTranspose1d(nn.Module):
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    subpixel: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -102,19 +150,71 @@ class WNConvTranspose1d(nn.Module):
         # normalize over (kernel, out) per input channel (torch dim=0)
         kernel = _weight_norm_params(self, shape, (0, 2), fan_in)
         pad = self.kernel_size - 1 - self.padding
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(1,),
-            padding=[(pad, pad)],
-            lhs_dilation=(self.stride,),
-            dimension_numbers=('NHC', 'HIO', 'NHC'))
+        out_length = \
+            (x.shape[1] - 1) * self.stride - 2 * self.padding + \
+            self.kernel_size
+        if self.subpixel and self.stride > 1 \
+                and out_length <= x.shape[1] * self.stride:
+            y = self._subpixel(x, kernel, pad, out_length)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(1,),
+                padding=[(pad, pad)],
+                lhs_dilation=(self.stride,),
+                dimension_numbers=('NHC', 'HIO', 'NHC'))
         if self.use_bias:
             bias = self.param(
                 'bias', torch_conv_init(in_channels * self.kernel_size),
                 (self.features,))
             y = y + bias.astype(self.dtype)
         return y
+
+    def _subpixel(self, x, kernel, pad, out_length):
+        """Polyphase lowering: one dense conv + depth-to-space.
+
+        Derivation: with x_d = x lhs-dilated by s, the dilated-conv output
+        is y[n] = sum_q x_d[n + q - pad] * K[q]. Substituting the only
+        nonzero taps (n + q - pad = t*s) and writing n = u*s + r gives
+
+            y[u*s + r] = sum_d x[u + d] * K[d*s + pad - r]
+
+        i.e. phase r of the output is a stride-1 cross-correlation of x
+        with the phase-r subsample of K. All phases are fused into one
+        conv onto s*features channels (phase-major), then interleaved by
+        reshape.
+        """
+        s, k, features = self.stride, self.kernel_size, self.features
+        in_channels = x.shape[-1]
+        # Static phase-gather indices: q[j, r] = (d_min + j)*s + pad - r
+        d_min = min(-(-(r - pad) // s) for r in range(s))  # ceil div
+        d_max = max((k - 1 - (pad - r)) // s for r in range(s))
+        length = d_max - d_min + 1
+        q = (d_min + np.arange(length))[:, None] * s \
+            + (pad - np.arange(s))[None, :]
+        valid = (q >= 0) & (q < k)
+        flat = np.clip(q, 0, k - 1).reshape(-1)
+        sub = kernel[flat] * valid.reshape(-1, 1, 1)
+        sub = sub.reshape(length, s, in_channels, features)
+        sub = jnp.transpose(sub, (0, 2, 1, 3)).reshape(
+            length, in_channels, s * features)
+        # Dense stride-1 conv via shifted matmuls (see conv1d_shifted_dots)
+        frames = x.shape[1]
+        xp = jnp.pad(
+            x.astype(self.dtype), ((0, 0), (-d_min, d_max), (0, 0)))
+        sub = sub.astype(self.dtype)
+        acc = None
+        for j in range(length):
+            part = jax.lax.dot_general(
+                jax.lax.slice_in_dim(xp, j, j + frames, 1, 1),
+                sub[j],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+        y = acc.astype(self.dtype)
+        y = y.reshape(y.shape[0], frames * s, features)
+        return y[:, :out_length]
 
 
 class WNConv2d(nn.Module):
@@ -169,13 +269,17 @@ class Conv1d(nn.Module):
             'kernel',
             torch_conv_init(fan_in),
             (self.kernel_size, in_channels, self.features))
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(self.stride,),
-            padding=[(self.padding, self.padding)],
-            rhs_dilation=(self.dilation,),
-            dimension_numbers=('NHC', 'HIO', 'NHC'))
+        if self.stride == 1:
+            y = conv1d_shifted_dots(
+                x, kernel, self.dilation, self.padding, self.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(self.stride,),
+                padding=[(self.padding, self.padding)],
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=('NHC', 'HIO', 'NHC'))
         if self.use_bias:
             bias = self.param('bias', torch_conv_init(fan_in), (self.features,))
             y = y + bias.astype(self.dtype)

@@ -74,14 +74,13 @@ def train(
     if resident is None:
         resident = (
             jax.default_backend() == 'tpu'
-            and not promonet_tpu.SPECTROGRAM_ONLY
-            and len(jax.devices()) == 1)
+            and not promonet_tpu.SPECTROGRAM_ONLY)
 
     # Data loaders (promonet/train/core.py:38-47)
     if resident:
         from ..data import resident as resident_module
         train_data = resident_module.to_device(
-            resident_module.pack(dataset, train_partition))
+            resident_module.pack(dataset, train_partition), mesh)
         train_loader = None
     else:
         train_loader = promonet_tpu.data.loader(
@@ -107,7 +106,8 @@ def train(
             discriminate=step >= promonet_tpu.DISCRIMINATOR_START_STEP,
             adversarial=step >= promonet_tpu.ADVERSARIAL_LOSS_START_STEP,
             resident=resident,
-            total_steps=steps)
+            total_steps=steps,
+            mesh=mesh)
 
     boundaries = sorted({
         promonet_tpu.DISCRIMINATOR_START_STEP,
@@ -401,6 +401,7 @@ def make_train_step(
     adversarial=None,
     resident=False,
     total_steps=None,
+    mesh=None,
 ):
     """Build the jitted GAN train step
 
@@ -563,9 +564,21 @@ def make_train_step(
     if resident:
         from ..data import resident as resident_module
 
+        # Multi-chip: per-device sampling over the stem-sharded corpus
+        # (data/resident.py sample_sharded); the batch comes out already
+        # sharded along the data axis and GSPMD handles the rest
+        sharded = (
+            mesh is not None
+            and 'data' in mesh.axis_names
+            and mesh.shape['data'] > 1)
+
         def sampled_step(state, data, key):
             sample_rng, step_rng = jax.random.split(key)
-            batch = resident_module.sample(data, sample_rng)
+            if sharded:
+                batch = resident_module.sample_sharded(
+                    data, sample_rng, mesh)
+            else:
+                batch = resident_module.sample(data, sample_rng)
             # Mel-loss target from the crop itself (device STFT)
             batch['spectrograms'] = \
                 promonet_tpu.preprocess.spectrogram.from_audio(

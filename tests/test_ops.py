@@ -273,3 +273,71 @@ def test_masked_interp():
     values = jnp.asarray([99., 2., 4., 99., 99., 99.])
     out = np.asarray(ops.grid.masked_interp(values, mask))
     np.testing.assert_allclose(out, [2., 2., 4., 4., 4., 4.], atol=1e-5)
+
+
+###############################################################################
+# Sub-pixel (polyphase) transposed convolution
+###############################################################################
+
+
+@pytest.mark.parametrize(
+    'kernel_size,stride,padding,in_ch,out_ch',
+    [
+        (16, 8, 4, 12, 6),   # HiFi-GAN stages 1-2
+        (4, 2, 1, 8, 4),     # HiFi-GAN stages 3-4
+        (6, 3, 2, 5, 7),     # non-power-of-two
+        (5, 1, 2, 4, 4),     # stride 1 falls back to dilated path
+    ])
+def test_subpixel_transposed_conv_parity(
+    kernel_size, stride, padding, in_ch, out_ch
+):
+    """Polyphase lowering must match the lhs-dilated reference exactly.
+
+    Both variants share one parameter tree, so checkpoints trained with
+    either lowering load into the other.
+    """
+    from promonet_tpu.models.modules import WNConvTranspose1d
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 19, in_ch)),
+        jnp.float32)
+    ref = WNConvTranspose1d(
+        out_ch, kernel_size, stride, padding, subpixel=False)
+    sub = WNConvTranspose1d(
+        out_ch, kernel_size, stride, padding, subpixel=True)
+    params = ref.init(jax.random.PRNGKey(1), x)
+    a = ref.apply(params, x)
+    b = sub.apply(params, x)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_subpixel_transposed_conv_matches_torch():
+    """Both lowerings must match torch.nn.ConvTranspose1d
+
+    Layout note: our (k, in, out) kernel is TIME-REVERSED relative to
+    torch's ConvTranspose1d (in, out, k) weight — lax convolutions are
+    cross-correlations and the lhs-dilated formulation absorbs the flip.
+    Anything porting torch transposed-conv weights must reverse the
+    kernel axis (as this test does).
+    """
+    import torch
+    from promonet_tpu.models.modules import WNConvTranspose1d
+    in_ch, out_ch, k, s, p = 6, 5, 16, 8, 4
+    x = np.random.default_rng(2).standard_normal((1, 17, in_ch)).astype(
+        np.float32)
+    module = WNConvTranspose1d(out_ch, k, s, p, subpixel=True)
+    params = module.init(jax.random.PRNGKey(3), jnp.asarray(x))
+    ours = np.asarray(module.apply(params, jnp.asarray(x)))
+
+    leaves = params['params']
+    v = np.asarray(leaves['kernel_v'])      # (k, in, out)
+    g = np.asarray(leaves['kernel_g'])
+    bias = np.asarray(leaves['bias'])
+    norm = np.sqrt((v ** 2).sum(axis=(0, 2), keepdims=True) + 1e-12)
+    w = (v * g / norm)[::-1].copy()          # flip time axis for torch
+    conv = torch.nn.ConvTranspose1d(in_ch, out_ch, k, s, p)
+    with torch.no_grad():
+        conv.weight.copy_(torch.tensor(w).permute(1, 2, 0))  # (in, out, k)
+        conv.bias.copy_(torch.tensor(bias))
+        theirs = conv(torch.tensor(x).permute(0, 2, 1)).permute(0, 2, 1)
+    np.testing.assert_allclose(ours, theirs.numpy(), atol=2e-5)
