@@ -33,11 +33,11 @@ CHECKPOINT_INTERVAL = 10000
 # of block_until_ready on the tunneled attachment), so the budget is
 # wall-clock-bound per session. Checkpoints land every 10k steps and
 # the run auto-resumes, so raising this continues the same run toward
-# the reference budget. At 100k steps every objective condition except
-# pitch-shift sits at/near the reference thresholds
-# (results/promonet/synthetic/results.json); shift robustness is the
-# known long-tail that additional steps buy.
-STEPS = 200000
+# the reference budget. Round-3 note: steps before 140k trained with
+# the broken augmentation-ratio sampler (89% of pitch augmentations
+# beyond 2x); the corrected corpus + regenerated pitch-distribution
+# bins apply from 140k on.
+STEPS = 800000
 
 # Activations fit single-chip HBM at this model/batch size without
 # rematerialization; skipping remat saves the backward recompute
