@@ -17,6 +17,21 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
 
+# Bench the flagship trained model: adopt the run's config so the
+# default checkpoint (runs/promonet/generator-<latest>) loads instead
+# of falling back to random init on a speaker-count mismatch
+_RUN_CONFIG = Path(__file__).parent / 'runs' / 'promonet' / 'synthetic.py'
+if 'PROMONET_TPU_CONFIG' not in os.environ and _RUN_CONFIG.exists():
+    os.environ['PROMONET_TPU_CONFIG'] = str(_RUN_CONFIG)
+
+# Persistent compilation cache: warmup compiles dominate bench wall
+# time; caching them keeps the measured (post-warmup) runs unaffected
+# while making the whole script re-runnable quickly
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
+os.environ.setdefault(
+    'JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '-1')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0')
+
 import numpy as np
 
 
@@ -249,6 +264,13 @@ def main():
 
 if __name__ == '__main__':
     if '--train-step' in sys.argv:
+        # Run under the parent bench's exclusive window (the parent
+        # holds the trainer paused for the whole script)
         train_step_benchmark()
     else:
-        main()
+        # A concurrent training run would contend for the single chip
+        # and corrupt the measurement (round 2: 41x loaded vs 90x
+        # solo); ask the trainer to pause for the duration
+        from promonet_tpu.utils import pause
+        with pause.exclusive():
+            main()

@@ -149,7 +149,17 @@ def train(
     def sync(metrics):
         return float(jax.device_get(metrics['loss/generator/total']))
 
+    def drain():
+        while pending:
+            sync(pending.popleft())
+
+    # Benchmarks may request exclusive device access (utils/pause.py)
+    from ..utils import pause
+    pause.register_trainer()
+
     for batch in batches():
+
+        pause.maybe_pause(drain)
 
         if step in boundaries:
             step_fn = step_fn_for(step)
@@ -187,6 +197,8 @@ def train(
         if step >= steps:
             break
 
+    drain()
+    pause.unregister_trainer()
     save_checkpoint(directory, state, step, epoch)
     return state
 

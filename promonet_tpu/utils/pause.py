@@ -1,0 +1,122 @@
+"""Cooperative trainer pause for exclusive device access.
+
+The attachment is one TPU chip shared by every process on this host. A
+long training run dispatches continuously, so any benchmark started
+alongside it measures contention, not capability (round 2 recorded
+41x with the trainer loaded vs 90x solo). Rather than killing the
+trainer (which can wedge the chip mid-dispatch), benchmarking asks it
+to pause: the trainer polls a PAUSE file between dispatches, drains its
+in-flight work, acknowledges, and idles until released.
+
+No reference counterpart (the reference is single-process per GPU).
+
+Protocol files (under RUNS_DIR):
+    trainer.pid  — written by the trainer at startup, removed at exit
+    PAUSE        — created by a benchmark to request exclusive access
+    PAUSE.ack    — created by the trainer once drained and idle
+"""
+import contextlib
+import os
+import time
+
+import promonet_tpu
+
+
+def _runs_dir():
+    promonet_tpu.RUNS_DIR.mkdir(parents=True, exist_ok=True)
+    return promonet_tpu.RUNS_DIR
+
+
+def pause_file():
+    return _runs_dir() / 'PAUSE'
+
+
+def ack_file():
+    return _runs_dir() / 'PAUSE.ack'
+
+
+def pid_file():
+    return _runs_dir() / 'trainer.pid'
+
+
+###############################################################################
+# Trainer side
+###############################################################################
+
+
+def register_trainer():
+    """Record this process as the active trainer"""
+    pid_file().write_text(str(os.getpid()))
+
+
+def unregister_trainer():
+    for path in (pid_file(), ack_file()):
+        try:
+            path.unlink()
+        except FileNotFoundError:
+            pass
+
+
+def maybe_pause(drain=None, poll_seconds=1.):
+    """If a pause is requested, drain in-flight work and idle until released
+
+    Called once per dispatch in the train loop. `drain` materializes any
+    enqueued device work so the chip is genuinely idle while paused.
+    """
+    if not pause_file().exists():
+        return False
+    if drain is not None:
+        drain()
+    ack_file().touch()
+    try:
+        while pause_file().exists():
+            time.sleep(poll_seconds)
+    finally:
+        try:
+            ack_file().unlink()
+        except FileNotFoundError:
+            pass
+    return True
+
+
+###############################################################################
+# Benchmark side
+###############################################################################
+
+
+def trainer_alive():
+    try:
+        pid = int(pid_file().read_text())
+    except (FileNotFoundError, ValueError):
+        return False
+    try:
+        os.kill(pid, 0)
+    except OSError:
+        return False
+    return True
+
+
+@contextlib.contextmanager
+def exclusive(timeout=240., poll_seconds=0.5):
+    """Request exclusive device access for the duration of the block
+
+    If a live trainer is registered, ask it to pause and wait (up to
+    `timeout` seconds — it may be inside a validation pass) for the
+    acknowledgement before yielding. Always releases on exit.
+    """
+    if not trainer_alive():
+        yield False
+        return
+    pause_file().touch()
+    try:
+        deadline = time.time() + timeout
+        while (time.time() < deadline
+               and not ack_file().exists()
+               and trainer_alive()):
+            time.sleep(poll_seconds)
+        yield ack_file().exists()
+    finally:
+        try:
+            pause_file().unlink()
+        except FileNotFoundError:
+            pass
