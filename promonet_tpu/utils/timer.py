@@ -17,17 +17,26 @@ import jax
 
 _totals = defaultdict(float)
 _counts = defaultdict(int)
+_suppress = False
 
 
 def reset():
     """Clear all accumulated timings (torchutil.time.reset)"""
+    global _suppress
     _totals.clear()
     _counts.clear()
+    _suppress = False
 
 
 @contextlib.contextmanager
 def context(name, synchronize=True):
     """Accumulate wall time under `name` (torchutil.time.context)"""
+    if _suppress:
+        # Inside a `phase` region: the enclosing wall-clock region is
+        # the measurement; per-call contexts would double-count (and
+        # sum overlapping intervals across worker threads)
+        yield
+        return
     if synchronize:
         _block_on_device()
     start = time.perf_counter()
@@ -36,6 +45,28 @@ def context(name, synchronize=True):
     finally:
         if synchronize:
             _block_on_device()
+        _totals[name] += time.perf_counter() - start
+        _counts[name] += 1
+
+
+@contextlib.contextmanager
+def phase(name):
+    """Wall-clock a (possibly multi-threaded) region under `name`.
+
+    Used by offline evaluation (evaluate/core.py) where each pipeline
+    phase fans its device calls out over a thread pool: the honest
+    number is elapsed wall time for the whole region, so nested
+    `context` calls are suppressed for the duration.
+    """
+    global _suppress
+    _block_on_device()
+    _suppress = True
+    start = time.perf_counter()
+    try:
+        yield
+    finally:
+        _block_on_device()
+        _suppress = False
         _totals[name] += time.perf_counter() - start
         _counts[name] += 1
 
