@@ -173,12 +173,100 @@ class PitchCNN:
         return self.module.apply(self.params, frames)
 
 
+def _tone_frames(rng, count, frame_size, hopsize):
+    """Domain-randomized harmonic-tone training data.
+
+    The speech corpus concentrates F0 in the modal register; a CNN
+    trained on it alone fails on out-of-domain signals (measured: 80%
+    octave errors on a 500→315 Hz glide). Randomized tones cover the
+    full [FMIN, FMAX] candidate range with randomized trajectories
+    (constant/glide/vibrato/random-walk), harmonic rolloffs, amplitude
+    modulation, and noise floors, so the learned front-end matches the
+    NCC front-end's domain robustness.
+
+    Returns (frames, bins, voiced): all frames are voiced.
+    """
+    sample_rate = promonet_tpu.SAMPLE_RATE
+    log_fmin = np.log2(promonet_tpu.FMIN * 1.05)
+    log_fmax = np.log2(promonet_tpu.FMAX * 0.95)
+    freqs = candidate_frequencies()
+    log_freqs = np.log(freqs)
+
+    frames_list, bins_list = [], []
+    collected = 0
+    while collected < count:
+        num_frames = int(rng.integers(32, 128))
+        samples = num_frames * hopsize
+        t = np.arange(samples) / sample_rate
+
+        # F0 trajectory in log2-Hz
+        kind = rng.integers(4)
+        lo, hi = sorted(rng.uniform(log_fmin, log_fmax, 2))
+        if kind == 0:                                   # constant
+            logf = np.full(samples, rng.uniform(log_fmin, log_fmax))
+        elif kind == 1:                                 # glide
+            logf = np.linspace(lo, hi, samples)
+            if rng.random() < 0.5:
+                logf = logf[::-1].copy()
+        elif kind == 2:                                 # vibrato
+            center = rng.uniform(log_fmin + 0.1, log_fmax - 0.1)
+            rate = rng.uniform(0.5, 7.)
+            depth = rng.uniform(0.01, 0.1)
+            logf = center + depth * np.sin(
+                2 * np.pi * rate * t + rng.uniform(0, 2 * np.pi))
+        else:                                           # random walk
+            walk = np.cumsum(rng.standard_normal(num_frames)) * 0.02
+            walk = np.clip(
+                walk - walk.mean() + rng.uniform(lo, hi), log_fmin, log_fmax)
+            logf = np.repeat(walk, hopsize)
+        f0 = 2. ** np.clip(logf, log_fmin, log_fmax)
+
+        # Harmonic stack with randomized rolloff and phases
+        num_harmonics = int(rng.integers(1, 9))
+        rolloff = rng.uniform(0.3, 0.95)
+        phase = 2 * np.pi * np.cumsum(f0) / sample_rate
+        audio = np.zeros(samples)
+        nyquist = sample_rate / 2
+        for k in range(1, num_harmonics + 1):
+            amp = rolloff ** (k - 1)
+            audio += amp * np.sin(k * phase + rng.uniform(0, 2 * np.pi)) * (
+                (k * f0) < nyquist)
+
+        # Amplitude modulation + noise floor
+        mod_rate = rng.uniform(0.5, 6.)
+        audio *= 0.55 + 0.45 * np.sin(
+            2 * np.pi * mod_rate * t + rng.uniform(0, 2 * np.pi))
+        peak = np.abs(audio).max() + 1e-9
+        audio = audio / peak * rng.uniform(0.1, 0.9)
+        snr_db = rng.uniform(10., 40.)
+        noise = rng.standard_normal(samples)
+        noise *= np.sqrt((audio ** 2).mean() / 10 ** (snr_db / 10))
+        audio = (audio + noise).astype(np.float32)
+
+        centers = (np.arange(num_frames) + 0.5) * hopsize
+        starts = np.round(centers - frame_size / 2).astype(np.int64)
+        padded = np.pad(audio, (frame_size, frame_size))
+        idx = (starts + frame_size)[:, None] + np.arange(frame_size)[None]
+        frames_list.append(padded[idx].astype(np.float32))
+
+        frame_f0 = f0.reshape(num_frames, hopsize).mean(axis=-1)
+        bins_list.append(np.abs(
+            np.log(frame_f0)[:, None] - log_freqs[None]
+        ).argmin(axis=-1).astype(np.int32))
+        collected += num_frames
+
+    frames = np.concatenate(frames_list)[:count]
+    bins = np.concatenate(bins_list)[:count]
+    return frames, bins, np.ones(len(frames), bool)
+
+
 def train(
     dataset='synthetic',
     steps=4000,
     batch_size=128,
     learning_rate=2e-4,
     max_frames=120000,
+    tone_fraction=0.4,
     output=None,
 ):
     """Train the FCNF0-style pitch CNN on ground-truth F0.
@@ -238,6 +326,16 @@ def train(
         if collected >= max_frames:
             break
 
+    # Domain-randomized tones alongside the speech corpus (see
+    # _tone_frames): coverage of the full candidate range
+    if tone_fraction > 0:
+        num_tones = int(collected * tone_fraction / (1 - tone_fraction))
+        tone_frames, tone_bins, tone_voiced = _tone_frames(
+            rng, num_tones, frame_size, hopsize)
+        frames_list.append(tone_frames)
+        bins_list.append(tone_bins)
+        voiced_list.append(tone_voiced)
+
     frames = np.concatenate(frames_list)
     bins = np.concatenate(bins_list)
     voiced = np.concatenate(voiced_list)
@@ -258,10 +356,24 @@ def train(
         optax.cosine_decay_schedule(learning_rate, steps), weight_decay=1e-4)
     opt_state = optimizer.init(params)
 
+    # Device-resident frame bank: the tunneled attachment uploads at
+    # ~1-2 MB/s, so shipping each 512 KB batch would dominate the step.
+    # Upload once, gather batches on-device from host-sampled indices.
+    # bf16 halves the one-time upload; inputs are unit-normalized so the
+    # precision loss is inaudible to the classifier. The bank must be an
+    # explicit jit ARGUMENT — a closure capture becomes a compile-time
+    # constant shipped inside the (size-limited) remote-compile request.
+    dev_frames = jax.device_put(frames.astype(jnp.bfloat16))
+    dev_bins = jax.device_put(bins)
+
     @jax.jit
-    def step_fn(params, opt_state, frames, targets):
+    def step_fn(params, opt_state, bank, bank_bins, batch_idx):
+        batch_frames = jnp.take(
+            bank, batch_idx, axis=0).astype(jnp.float32)
+        targets = jnp.take(bank_bins, batch_idx, axis=0)
+
         def loss_fn(params):
-            logits = module.apply(params, frames)
+            logits = module.apply(params, batch_frames)
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits, targets).mean()
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -269,17 +381,19 @@ def train(
         return optax.apply_updates(params, updates), opt_state, loss
 
     for step in range(steps):
-        batch = rng.choice(train_voiced, batch_size)
+        batch = rng.choice(train_voiced, batch_size).astype(np.int32)
         params, opt_state, loss = step_fn(
-            params, opt_state, frames[batch], bins[batch])
+            params, opt_state, dev_frames, dev_bins, batch)
         if step % 1000 == 0:
-            print(f'pitch train step {step}: loss {float(loss):.3f}')
+            print(f'pitch train step {step}: loss {float(loss):.3f}',
+                  flush=True)
 
     # Held-out evaluation: cents error on voiced frames, posterior-mass
     # voicing calibration over all frames
     @jax.jit
-    def infer(params, frames):
-        logits = module.apply(params, frames)
+    def infer(params, bank, batch_idx):
+        logits = module.apply(params, jnp.take(
+            bank, batch_idx, axis=0).astype(jnp.float32))
         posterior = jax.nn.softmax(logits, axis=-1)
         decoded = jnp.argmax(logits, axis=-1)
         confidence = jnp.take_along_axis(
@@ -288,10 +402,10 @@ def train(
 
     pad_to = ((len(valid_idx) + 255) // 256) * 256
     vidx = np.concatenate([
-        valid_idx, valid_idx[:pad_to - len(valid_idx)]])
+        valid_idx, valid_idx[:pad_to - len(valid_idx)]]).astype(np.int32)
     decoded, confidence = (
         np.asarray(x)[:len(valid_idx)]
-        for x in infer(params, frames[vidx]))
+        for x in infer(params, dev_frames, vidx))
     vmask = voiced[valid_idx]
     cents = np.abs(
         log_freqs[decoded[vmask]] -
