@@ -346,19 +346,27 @@ def save_checkpoint(directory, state, step, epoch):
 
 
 def load_checkpoint(directory, state, generator_path):
-    """Restore models + optimizers for auto-resume or adaptation"""
+    """Restore models + optimizers for auto-resume or adaptation
+
+    Release checkpoints ship generator params only (no optimizer state,
+    no discriminator) — warm-starting from one keeps the trained
+    generator and step count but re-initializes both optimizers and the
+    discriminator, like adapting from a published checkpoint
+    (promonet/adapt/core.py:73-91).
+    """
     generator_path = Path(generator_path)
-    payload = promonet_tpu.utils.checkpoint.load(
+    keys = promonet_tpu.utils.checkpoint.top_level_keys(generator_path)
+    restore = promonet_tpu.utils.checkpoint.load(
         generator_path,
         template={
-            'params': state['generator']['params'],
-            'opt_state': state['generator']['opt_state'],
-            'step': np.asarray(0),
-            'epoch': np.asarray(0)})
-    state['generator']['params'] = payload['params']
-    state['generator']['opt_state'] = payload['opt_state']
-    step = int(payload['step'])
-    epoch = int(payload['epoch'])
+            key: (np.asarray(0) if key in ('step', 'epoch')
+                  else state['generator'][key])
+            for key in keys})
+    state['generator']['params'] = restore['params']
+    if 'opt_state' in restore:
+        state['generator']['opt_state'] = restore['opt_state']
+    step = int(restore['step'])
+    epoch = int(restore['epoch'])
 
     d_path = generator_path.parent / generator_path.name.replace(
         'generator', 'discriminator')

@@ -29,6 +29,16 @@ def save(path, params, opt_state=None, step=0, epoch=0, **extra):
     checkpointer.wait_until_finished()
 
 
+def top_level_keys(path):
+    """Top-level pytree keys of a checkpoint without loading arrays
+
+    Distinguishes full training checkpoints (params/opt_state/step/epoch)
+    from release checkpoints (params/step/epoch only).
+    """
+    metadata = ocp.PyTreeCheckpointer().metadata(Path(path).absolute())
+    return set(metadata.item_metadata.keys())
+
+
 def load(path, template=None):
     """Load a checkpoint; returns the saved pytree
 

@@ -231,3 +231,40 @@ def test_resident_multichip_sample_and_step(small_model, monkeypatch):
     metrics = jax.device_get(metrics)
     assert np.isfinite(metrics['loss/generator/total'])
     assert np.isfinite(metrics['loss/discriminator/total'])
+
+
+def test_warm_start_params_only_checkpoint(small_model, monkeypatch, tmp_path):
+    """Release checkpoints (params/step/epoch, no optimizer state) warm-start
+
+    Reference semantics: adapting from a published checkpoint
+    (promonet/adapt/core.py:73-91) — generator params and step carry
+    over, optimizers and discriminator start fresh.
+    """
+    from promonet_tpu.train.core import load_checkpoint
+
+    monkeypatch.setattr(promonet_tpu, 'BATCH_SIZE', 2)
+    monkeypatch.setattr(promonet_tpu, 'CHUNK_SIZE', 2048)
+
+    state = create_state(jax.random.PRNGKey(0))
+    release = tmp_path / 'generator-00000123'
+    promonet_tpu.utils.checkpoint.save(
+        release, state['generator']['params'], step=123, epoch=7)
+
+    assert promonet_tpu.utils.checkpoint.top_level_keys(release) == {
+        'params', 'step', 'epoch'}
+
+    fresh = create_state(jax.random.PRNGKey(1))
+    opt_before = jax.tree_util.tree_leaves(fresh['generator']['opt_state'])
+    restored, step, epoch = load_checkpoint(tmp_path, fresh, release)
+    assert (step, epoch) == (123, 7)
+
+    # Params replaced by the checkpoint's
+    saved = jax.tree_util.tree_leaves(state['generator']['params'])
+    loaded = jax.tree_util.tree_leaves(restored['generator']['params'])
+    assert all(
+        np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(saved, loaded))
+
+    # Optimizer state untouched (fresh)
+    opt_after = jax.tree_util.tree_leaves(restored['generator']['opt_state'])
+    assert len(opt_before) == len(opt_after)
