@@ -1,14 +1,17 @@
 """Speaker-embedding cluster plots.
 
-Reference: promonet/plot/speaker/core.py (UMAP projection of WavLM
+Reference: promonet/plot/speaker/core.py:62 (UMAP projection of WavLM
 x-vectors, ground truth vs reconstructed). umap-learn is unavailable
-here; PCA to 2-D provides the same visualization contract.
+here; the projection uses the in-repo UMAP implementation
+(promonet_tpu/plot/umap.py).
 """
 import numpy as np
 
+from .umap import UMAP
+
 
 def from_embeddings(embeddings, labels=None, predicted_embeddings=None):
-    """2-D projection scatter of speaker embeddings"""
+    """2-D UMAP scatter of speaker embeddings"""
     import matplotlib
     matplotlib.use('Agg')
     import matplotlib.pyplot as plt
@@ -19,10 +22,7 @@ def from_embeddings(embeddings, labels=None, predicted_embeddings=None):
         stacked = np.concatenate(
             [embeddings, np.asarray(predicted_embeddings)])
 
-    # PCA projection
-    centered = stacked - stacked.mean(axis=0)
-    _, _, components = np.linalg.svd(centered, full_matrices=False)
-    projected = centered @ components[:2].T
+    projected = UMAP().fit_transform(stacked)
 
     figure, axis = plt.subplots(figsize=(6, 6))
     n = len(embeddings)

@@ -16,6 +16,21 @@ if 'xla_force_host_platform_device_count' not in flags:
 import jax
 jax.config.update('jax_platforms', 'cpu')
 
+# Persistent compilation cache: the slow tier is compile-dominated
+# (full-architecture models on the 8-device host mesh); caching XLA
+# executables across runs makes `make test-full` re-runnable in minutes
+# instead of hours. The cache key includes jaxlib version and flags, so
+# stale hits are not a concern.
+_cache_dir = os.path.join(
+    os.path.dirname(__file__), '..', '.cache', 'jax_test_cache')
+jax.config.update('jax_compilation_cache_dir', os.path.abspath(_cache_dir))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+try:
+    jax.config.update('jax_persistent_cache_enable_xla_caches', 'all')
+except Exception:  # older jaxlib without the XLA-caches knob
+    pass
+
 import numpy as np
 import pytest
 
