@@ -21,8 +21,15 @@ sys.path.insert(0, str(Path(__file__).parent))
 # default checkpoint (runs/promonet/generator-<latest>) loads instead
 # of falling back to random init on a speaker-count mismatch
 _RUN_CONFIG = Path(__file__).parent / 'runs' / 'promonet' / 'synthetic.py'
+_BENCH_CONFIG = Path(__file__).parent / 'configs' / 'bench.py'
 if 'PROMONET_TPU_CONFIG' not in os.environ and _RUN_CONFIG.exists():
-    os.environ['PROMONET_TPU_CONFIG'] = str(_RUN_CONFIG)
+    # Run config (checkpoint compatibility: speaker count etc.) plus the
+    # bench overlay, which restores framework defaults the run pins for
+    # corpus-consistency reasons (the CNN pitch front-end)
+    paths = [str(_RUN_CONFIG)]
+    if _BENCH_CONFIG.exists():
+        paths.append(str(_BENCH_CONFIG))
+    os.environ['PROMONET_TPU_CONFIG'] = ':'.join(paths)
 
 # Persistent compilation cache: warmup compiles dominate bench wall
 # time; caching them keeps the measured (post-warmup) runs unaffected

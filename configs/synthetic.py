@@ -42,3 +42,9 @@ STEPS = 800000
 # Activations fit single-chip HBM at this model/batch size without
 # rematerialization; skipping remat saves the backward recompute
 REMAT = False
+
+# The on-disk corpus features (and the released checkpoints' training
+# targets) were extracted with the DSP front-end; evaluation compares
+# re-extracted generated audio against those stored targets, so this
+# run pins the estimator rather than inheriting the 'cnn' default.
+PITCH_ESTIMATOR = 'dsp'

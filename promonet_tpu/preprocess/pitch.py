@@ -298,7 +298,7 @@ def train(
     freqs = candidate_frequencies()
     log_freqs = np.log(freqs)
 
-    frames_list, bins_list, voiced_list = [], [], []
+    frames_list, bins_list, voiced_list, speech_list = [], [], [], []
     collected = 0
     for truth in truths:
         stem = str(truth)[:-len('-truepitch.npy')]
@@ -322,6 +322,7 @@ def train(
             np.log(f0[:num_frames][keep])[:, None] -
             log_freqs[None]).argmin(axis=-1).astype(np.int32))
         voiced_list.append(voiced[:num_frames][keep])
+        speech_list.append(np.ones(int(keep.sum()), bool))
         collected += int(keep.sum())
         if collected >= max_frames:
             break
@@ -335,10 +336,12 @@ def train(
         frames_list.append(tone_frames)
         bins_list.append(tone_bins)
         voiced_list.append(tone_voiced)
+        speech_list.append(np.zeros(len(tone_voiced), bool))
 
     frames = np.concatenate(frames_list)
     bins = np.concatenate(bins_list)
     voiced = np.concatenate(voiced_list)
+    speech = np.concatenate(speech_list)
     # Per-frame normalization matching inference
     frames = frames - frames.mean(axis=-1, keepdims=True)
     frames = frames / np.maximum(frames.std(axis=-1, keepdims=True), 1e-6)
@@ -412,13 +415,19 @@ def train(
         log_freqs[bins[valid_idx][vmask]]) * 1200 / np.log(2)
     median_cents = float(np.median(cents)) if vmask.any() else float('nan')
 
-    # Voicing threshold: best balanced accuracy over confidence quantiles
-    candidates = np.quantile(confidence, np.linspace(0.02, 0.98, 97))
+    # Voicing threshold: best balanced accuracy over confidence quantiles.
+    # Calibrated on SPEECH frames only — the domain-randomized tones
+    # include extreme SNRs that would skew the operating point for the
+    # signals this runs on at inference
+    smask = speech[valid_idx]
+    s_confidence = confidence[smask] if smask.any() else confidence
+    s_voiced = vmask[smask] if smask.any() else vmask
+    candidates = np.quantile(s_confidence, np.linspace(0.02, 0.98, 97))
     best_threshold, best_score = 0.5, -1.
     for threshold in candidates:
-        predicted = confidence > threshold
-        tpr = (predicted & vmask).sum() / max(vmask.sum(), 1)
-        tnr = (~predicted & ~vmask).sum() / max((~vmask).sum(), 1)
+        predicted = s_confidence > threshold
+        tpr = (predicted & s_voiced).sum() / max(s_voiced.sum(), 1)
+        tnr = (~predicted & ~s_voiced).sum() / max((~s_voiced).sum(), 1)
         score = 0.5 * (tpr + tnr)
         if score > best_score:
             best_score, best_threshold = score, float(threshold)

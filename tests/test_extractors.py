@@ -77,10 +77,18 @@ def test_ppg_training(corpus):
 def test_pitch_cnn_training(corpus, monkeypatch):
     """A short CNN training run learns real pitch posteriors"""
     median_cents, voicing_accuracy = promonet_tpu.preprocess.pitch.train(
-        'synthetic', steps=400, batch_size=32, max_frames=4000)
+        'synthetic', steps=400, batch_size=32, max_frames=4000,
+        tone_fraction=0.)
     # 256-bin classification over ~4150 cents: chance error is ~1000c
     assert median_cents < 120.
     assert voicing_accuracy > 0.7
+
+    # The domain-randomized tone mix trains end-to-end at tiny budgets
+    # (quality at the real budget is gated by scripts/pitch_domain_check)
+    tone_cents, _ = promonet_tpu.preprocess.pitch.train(
+        'synthetic', steps=200, batch_size=32, max_frames=2000,
+        tone_fraction=0.4)
+    assert np.isfinite(tone_cents)
 
     # The 'cnn' estimator path runs end-to-end with the new checkpoint
     monkeypatch.setattr(promonet_tpu, 'PITCH_ESTIMATOR', 'cnn')
