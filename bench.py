@@ -124,8 +124,13 @@ def mfu_benchmark(frames):
     args = generator_args(batch)
     params = model.init(jax.random.PRNGKey(0), *args)
 
-    fn = jax.jit(lambda *a: model.apply(params, *a))
-    compiled = fn.lower(*args).compile()
+    # FLOP count comes from the UNFUSED lowering's XLA cost analysis:
+    # the fused Pallas residual blocks are semantically identical
+    # (parity-tested) but their flops are invisible to cost_analysis
+    # (custom calls count as zero), which would deflate MFU
+    unfused = model.clone(pallas=False) if model.pallas else model
+    compiled = jax.jit(
+        lambda *a: unfused.apply(params, *a)).lower(*args).compile()
     analysis = compiled.cost_analysis()
     if isinstance(analysis, (list, tuple)):
         analysis = analysis[0]

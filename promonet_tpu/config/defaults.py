@@ -412,6 +412,13 @@ PRECISION = 'bfloat16'
 # reference batch size does).
 REMAT = True
 
+# Fuse each HiFi-GAN dilated residual block into one VMEM-resident
+# Pallas kernel at inference (ops/resblock.py). The unfused XLA chain
+# re-reads activations from HBM per tap and is bandwidth-bound; the
+# fused kernel is compute-bound for widths >= 64. None = auto (enabled
+# on TPU backends; training always uses the unfused/remat path).
+PALLAS_RESBLOCK = None
+
 # Device mesh axis sizes. None means "use all available devices" on the
 # data axis. Training shards the batch over the 'data' axis; gradient
 # all-reduce rides ICI via XLA sharding propagation.

@@ -54,6 +54,7 @@ class BaseGenerator(nn.Module):
     augment_pitch: bool
     augment_loudness: bool
     remat: bool = False
+    pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -70,6 +71,7 @@ class BaseGenerator(nn.Module):
                     promonet_tpu.HIFIGAN_RESBLOCK_DILATION_SIZES),
                 lrelu_slope=promonet_tpu.LRELU_SLOPE,
                 remat=self.remat,
+                pallas=self.pallas,
                 dtype=self.dtype)
         elif self.model == 'vocos':
             self.backbone = Vocos(
@@ -140,6 +142,10 @@ class Generator(BaseGenerator):
             dtype = (
                 jnp.bfloat16 if promonet_tpu.PRECISION == 'bfloat16'
                 else jnp.float32)
+        pallas = promonet_tpu.PALLAS_RESBLOCK
+        if pallas is None:
+            import jax
+            pallas = jax.default_backend() == 'tpu'
         distribution = None
         if promonet_tpu.VARIABLE_PITCH_BINS:
             distribution = tuple(
@@ -163,6 +169,7 @@ class Generator(BaseGenerator):
             sparse_ppg_method=promonet_tpu.SPARSE_PPG_METHOD,
             sparse_ppg_threshold=promonet_tpu.SPARSE_PPG_THRESHOLD,
             remat=remat,
+            pallas=pallas,
             dtype=dtype)
 
     def setup(self):
@@ -291,6 +298,10 @@ class MelGenerator(BaseGenerator):
             dtype = (
                 jnp.bfloat16 if promonet_tpu.PRECISION == 'bfloat16'
                 else jnp.float32)
+        pallas = promonet_tpu.PALLAS_RESBLOCK
+        if pallas is None:
+            import jax
+            pallas = jax.default_backend() == 'tpu'
         return cls(
             model=promonet_tpu.MODEL,
             num_features=promonet_tpu.NUM_MELS,
@@ -302,6 +313,7 @@ class MelGenerator(BaseGenerator):
             augment_loudness=promonet_tpu.AUGMENT_LOUDNESS,
             sparse_mels=promonet_tpu.SPARSE_MELS,
             remat=remat,
+            pallas=pallas,
             dtype=dtype)
 
     def __call__(

@@ -22,16 +22,45 @@ from .modules import (
 
 
 class Block(nn.Module):
-    """Dilated residual unit (promonet/model/hifigan.py:157-210)"""
+    """Dilated residual unit (promonet/model/hifigan.py:157-210)
+
+    With `pallas`, the six-conv chain runs as one fused VMEM-resident
+    Pallas kernel (ops/resblock.py) — identical parameter tree, bf16
+    numerics, custom VJP. The unfused path remains the semantics
+    reference (parity-tested).
+    """
 
     channels: int
     kernel_size: int
     dilations: Sequence[int]
     lrelu_slope: float
+    pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if self.pallas:
+            from ..ops.resblock import fused_block
+            kernels, biases = [], []
+            for dilation in self.dilations:
+                for conv_dilation in (dilation, 1):
+                    kernel, bias = WNConv1d(
+                        self.channels,
+                        self.kernel_size,
+                        dilation=conv_dilation,
+                        padding=get_padding(
+                            self.kernel_size, conv_dilation),
+                        dtype=self.dtype)(x, materialize_only=True)
+                    kernels.append(kernel)
+                    biases.append(bias)
+            weights = jnp.stack(kernels).astype(self.dtype)
+            bias_stack = jnp.stack(biases)
+            return fused_block(
+                x.astype(self.dtype),
+                weights,
+                bias_stack,
+                tuple(self.dilations),
+                self.lrelu_slope)
         for dilation in self.dilations:
             xt = leaky_relu(x, self.lrelu_slope)
             xt = WNConv1d(
@@ -63,6 +92,7 @@ class ResidualBlock(nn.Module):
     dilation_sizes: Sequence[Sequence[int]]
     lrelu_slope: float
     remat: bool = False
+    pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -80,6 +110,7 @@ class ResidualBlock(nn.Module):
                 kernel_size,
                 dilations,
                 self.lrelu_slope,
+                pallas=self.pallas,
                 dtype=self.dtype,
                 name=f'Block_{i}')(x)
             total = out if total is None else total + out
@@ -99,6 +130,7 @@ class MultiReceptiveFieldFusion(nn.Module):
     resblock_dilation_sizes: Sequence[Sequence[int]]
     lrelu_slope: float
     remat: bool = False
+    pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -116,6 +148,7 @@ class MultiReceptiveFieldFusion(nn.Module):
             self.resblock_dilation_sizes,
             self.lrelu_slope,
             remat=self.remat,
+            pallas=self.pallas,
             dtype=self.dtype)(x)
 
 
@@ -133,6 +166,7 @@ class HiFiGAN(nn.Module):
         (1, 3, 5), (1, 3, 5), (1, 3, 5))
     lrelu_slope: float = 0.1
     remat: bool = False
+    pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -168,6 +202,7 @@ class HiFiGAN(nn.Module):
                 self.resblock_dilation_sizes,
                 self.lrelu_slope,
                 remat=self.remat,
+                pallas=self.pallas and not train,
                 dtype=self.dtype)(x)
 
         # Output layer

@@ -90,12 +90,23 @@ class WNConv1d(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, materialize_only=False):
         in_channels = x.shape[-1]
         shape = (self.kernel_size, in_channels // self.groups, self.features)
         fan_in = (in_channels // self.groups) * self.kernel_size
         # torch weight_norm dim=0 on Conv1d (out, in, k): per-out-channel
         kernel = _weight_norm_params(self, shape, (0, 1), fan_in)
+        if materialize_only:
+            # Return the effective (kernel, bias) without applying —
+            # fused Pallas paths (ops/resblock.py) consume several
+            # convolutions' parameters in one kernel while keeping the
+            # parameter tree identical to the unfused path
+            bias = (
+                self.param(
+                    'bias', torch_conv_init(fan_in), (self.features,))
+                if self.use_bias
+                else jnp.zeros((self.features,), kernel.dtype))
+            return kernel, bias
         if self.stride == 1 and self.groups == 1:
             y = conv1d_shifted_dots(
                 x, kernel, self.dilation, self.padding, self.dtype)
