@@ -108,19 +108,21 @@ PEAK_BF16_FLOPS = {
 }
 
 
-def mfu_benchmark(frames):
+def mfu_benchmark(frames, batch_size=1):
     """Generator-forward MFU: XLA-counted flops / wall / chip peak
 
     Flops come from the compiled executable's own cost analysis (the
     number XLA schedules, not a hand model), so the figure survives
-    architecture changes (VERDICT round-1 weak #2).
+    architecture changes (VERDICT round-1 weak #2). batch_size=1 is the
+    latency workload (the north-star RTF); larger batches measure the
+    serving-throughput headroom.
     """
     import jax
     import promonet_tpu
     from promonet_tpu.train.core import example_batch, generator_args
 
     model = promonet_tpu.models.Generator.create()
-    batch = example_batch(1, frames)
+    batch = example_batch(batch_size, frames)
     args = generator_args(batch)
     params = model.init(jax.random.PRNGKey(0), *args)
 
@@ -249,12 +251,16 @@ def main():
             train_step_ms = None
 
     # MFU of the generator forward at this workload's frame count
+    bench_frames = \
+        int(seconds * promonet_tpu.SAMPLE_RATE) // promonet_tpu.HOPSIZE
     try:
-        mfu = mfu_benchmark(
-            int(seconds * promonet_tpu.SAMPLE_RATE) //
-            promonet_tpu.HOPSIZE)
+        mfu = mfu_benchmark(bench_frames)
     except Exception:
         mfu = {'mfu': None}
+    try:
+        mfu['mfu_batch4'] = mfu_benchmark(bench_frames, 4)['mfu']
+    except Exception:
+        mfu['mfu_batch4'] = None
 
     rtf = max(rtf, fused_rtf)
     print(json.dumps({

@@ -1,6 +1,13 @@
 """python -m promonet_tpu.train (reference: promonet/train/__main__.py)"""
+import os
 import shutil
 from pathlib import Path
+
+# Persistent XLA compilation cache: auto-resumed runs skip the
+# multi-minute train-step/eval recompiles on restart
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '-1')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0')
 
 import promonet_tpu
 from promonet_tpu.utils.cli import ArgumentParser

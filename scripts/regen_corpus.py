@@ -22,8 +22,19 @@ RNG stream, so continued training warm-starts from the released
 generator params and lets the speaker table re-adapt.
 """
 import json
+import os
 import sys
 import time
+
+# The corpus must be extracted with the SAME front-ends the flagship
+# run trains against (runs/promonet/synthetic.py pins
+# PITCH_ESTIMATOR='dsp'); extracting with the framework default ('cnn')
+# silently shifts the stored pitch/periodicity distributions under the
+# warm-started checkpoint
+os.environ.setdefault(
+    'PROMONET_TPU_CONFIG',
+    str((__import__('pathlib').Path(__file__).parent.parent /
+         'configs' / 'synthetic.py')))
 
 import numpy as np
 
