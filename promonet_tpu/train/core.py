@@ -99,6 +99,11 @@ def train(
     else:
         step, epoch = 0, 0
 
+    # Restored arrays are committed to their load device; re-place the
+    # state on the mesh or the jitted step sees mixed device sets when
+    # the batch spans more than one device.
+    state = promonet_tpu.parallel.shard_pytree(state, mesh)
+
     # Loss-warmup gating (promonet/train/core.py:236,264) is static in
     # the compiled step; rebuild the step function at each boundary
     def step_fn_for(step):

@@ -62,22 +62,38 @@ def load(path, template=None):
         absl_logger.setLevel(level)
 
 
+def readable(path):
+    """True if the checkpoint's metadata parses (i.e. the write committed)
+
+    A process killed mid-save leaves either an orbax tmp directory (name
+    does not match the step pattern) or, on non-atomic filesystems, a
+    truncated tree; both fail the metadata read.
+    """
+    try:
+        return bool(top_level_keys(path))
+    except Exception:
+        return False
+
+
 def latest_path(directory, prefix='generator-*'):
-    """Resolve the checkpoint with the largest step for auto-resume
+    """Resolve the newest READABLE checkpoint for auto-resume
 
     Reference: torchutil.checkpoint.latest_path usage at
-    promonet/train/core.py:70-75.
+    promonet/train/core.py:70-75. Unlike the reference, a corrupted
+    latest checkpoint (crash mid-write) is skipped in favor of the
+    newest one that still loads, so auto-resume survives hard kills.
     """
     directory = Path(directory)
     if not directory.exists():
         return None
     pattern = re.compile(
         '^' + prefix.replace('*', r'(\d+)') + '$')
-    best, best_step = None, -1
+    candidates = []
     for entry in directory.iterdir():
         match = pattern.match(entry.name)
         if match:
-            step = int(match.group(1))
-            if step > best_step:
-                best, best_step = entry, step
-    return best
+            candidates.append((int(match.group(1)), entry))
+    for _, entry in sorted(candidates, reverse=True):
+        if readable(entry):
+            return entry
+    return None

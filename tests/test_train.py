@@ -116,6 +116,7 @@ def test_train_resident_end_to_end(small_model, monkeypatch, tmp_path):
         promonet_tpu, 'AUGMENT_DIR', tmp_path / 'assets' / 'augmentations')
     monkeypatch.setattr(promonet_tpu, 'BATCH_SIZE', 2)
     monkeypatch.setattr(promonet_tpu, 'CHUNK_SIZE', 2048)
+    monkeypatch.setattr(promonet_tpu, 'MESH_SHAPE', {'data': 2})
     monkeypatch.setattr(promonet_tpu, 'EVALUATION_INTERVAL', 10)
     monkeypatch.setattr(promonet_tpu, 'CHECKPOINT_INTERVAL', 10)
     monkeypatch.setattr(promonet_tpu, 'RESIDENT_DATA', True)
@@ -268,3 +269,52 @@ def test_warm_start_params_only_checkpoint(small_model, monkeypatch, tmp_path):
     # Optimizer state untouched (fresh)
     opt_after = jax.tree_util.tree_leaves(restored['generator']['opt_state'])
     assert len(opt_before) == len(opt_after)
+
+
+def test_auto_resume_survives_crash_mid_checkpoint(
+        small_model, monkeypatch, tmp_path):
+    """Fault injection: a hard kill mid-checkpoint-write must not wedge
+    auto-resume (SURVEY §5.3)
+
+    Simulates the two on-disk states a SIGKILL can leave behind — an
+    orbax tmp directory that was never renamed, and a committed-looking
+    directory with a truncated payload — and verifies resume picks the
+    newest READABLE checkpoint and training continues to completion.
+    """
+    monkeypatch.setattr(promonet_tpu, 'CACHE_DIR', tmp_path / 'cache')
+    monkeypatch.setattr(promonet_tpu, 'ASSETS_DIR', tmp_path / 'assets')
+    monkeypatch.setattr(
+        promonet_tpu, 'AUGMENT_DIR', tmp_path / 'assets' / 'augmentations')
+    monkeypatch.setattr(promonet_tpu, 'BATCH_SIZE', 2)
+    monkeypatch.setattr(promonet_tpu, 'CHUNK_SIZE', 2048)
+    monkeypatch.setattr(promonet_tpu, 'MESH_SHAPE', {'data': 2})
+    monkeypatch.setattr(promonet_tpu, 'EVALUATION_INTERVAL', 100)
+    monkeypatch.setattr(promonet_tpu, 'CHECKPOINT_INTERVAL', 2)
+
+    promonet_tpu.data.synthetic.create(
+        'synthetic', speakers=2, utterances=3, seconds=1.0)
+    run_dir = tmp_path / 'run'
+    promonet_tpu.train(run_dir, 'synthetic', steps=2)
+    good = run_dir / 'generator-00000002'
+    assert good.exists()
+
+    # Crash artifact 1: orbax tmp dir never renamed (atomic-commit miss)
+    tmp_ckpt = run_dir / 'generator-00000004.orbax-checkpoint-tmp-99'
+    tmp_ckpt.mkdir()
+    (tmp_ckpt / '_METADATA').write_text('{}')
+
+    # Crash artifact 2: committed-looking dir with a garbage payload
+    corrupt = run_dir / 'generator-00000006'
+    corrupt.mkdir()
+    (corrupt / '_METADATA').write_text('not json')
+
+    latest = promonet_tpu.utils.checkpoint.latest_path(run_dir)
+    assert latest == good
+
+    # Resume completes past the corruption and re-writes step 4
+    promonet_tpu.train(run_dir, 'synthetic', steps=4)
+    assert promonet_tpu.utils.checkpoint.readable(
+        run_dir / 'generator-00000004')
+    loaded = promonet_tpu.utils.checkpoint.load(
+        run_dir / 'generator-00000004')
+    assert int(loaded['step']) == 4
