@@ -288,7 +288,14 @@ if __name__ == '__main__':
     else:
         # A concurrent training run would contend for the single chip
         # and corrupt the measurement (round 2: 41x loaded vs 90x
-        # solo); ask the trainer to pause for the duration
+        # solo); ask the trainer to pause for the duration. If the
+        # trainer fails to acknowledge, retry once before measuring
+        # under contention (a contended record is worse than a late
+        # one — round 3 recorded 7x under contention vs 90x solo).
         from promonet_tpu.utils import pause
-        with pause.exclusive():
-            main()
+        with pause.exclusive() as acked:
+            if not acked and pause.trainer_alive():
+                with pause.exclusive() as acked:
+                    main()
+            else:
+                main()

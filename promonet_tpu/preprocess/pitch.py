@@ -141,7 +141,12 @@ class PitchCNN:
         checkpoint = promonet_tpu.ASSETS_DIR / 'checkpoints' / 'pitch'
         if checkpoint.exists():
             payload = promonet_tpu.utils.checkpoint.load(checkpoint)
-            self.params = payload['params']
+            # device_put once: host numpy leaves would re-upload per
+            # call. Init may run lazily inside an enclosing jit trace
+            # (instance() from _front_end); the cache must hold real
+            # arrays, not tracers
+            with jax.ensure_compile_time_eval():
+                self.params = jax.device_put(payload['params'])
             if 'voicing_threshold' in payload:
                 self.voicing_threshold = float(payload['voicing_threshold'])
         else:

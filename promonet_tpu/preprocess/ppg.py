@@ -72,7 +72,13 @@ def _model():
         params = None
         checkpoint = promonet_tpu.ASSETS_DIR / 'checkpoints' / 'ppg'
         if checkpoint.exists():
-            params = promonet_tpu.utils.checkpoint.load(checkpoint)['params']
+            # device_put once: host numpy leaves would re-upload per
+            # call (outside any enclosing trace — the cache must hold
+            # real arrays, not tracers)
+            with jax.ensure_compile_time_eval():
+                params = jax.device_put(
+                    promonet_tpu.utils.checkpoint.load(
+                        checkpoint)['params'])
         else:
             # Init must run outside any enclosing trace: the cache holds
             # concrete arrays (a tracer here would leak across jits)

@@ -120,7 +120,13 @@ def _encoder():
         encoder = SpeakerEncoder()
         checkpoint = promonet_tpu.ASSETS_DIR / 'checkpoints' / 'speaker'
         if checkpoint.exists():
-            params = promonet_tpu.utils.checkpoint.load(checkpoint)['params']
+            # device_put once: host numpy leaves would re-upload per
+            # call (outside any enclosing trace — the cache must hold
+            # real arrays, not tracers)
+            with jax.ensure_compile_time_eval():
+                params = jax.device_put(
+                    promonet_tpu.utils.checkpoint.load(
+                        checkpoint)['params'])
         else:
             with jax.ensure_compile_time_eval():
                 params = encoder.module.init(

@@ -97,12 +97,15 @@ def trainer_alive():
 
 
 @contextlib.contextmanager
-def exclusive(timeout=240., poll_seconds=0.5):
+def exclusive(timeout=600., poll_seconds=0.5):
     """Request exclusive device access for the duration of the block
 
     If a live trainer is registered, ask it to pause and wait (up to
-    `timeout` seconds — it may be inside a validation pass) for the
-    acknowledgement before yielding. Always releases on exit.
+    `timeout` seconds — it may be mid-dispatch or inside a validation
+    pass; the 50-step fused dispatch alone holds the chip ~25 s) for
+    the acknowledgement before yielding. Always releases on exit.
+    Yields True only once the trainer has drained and acknowledged;
+    a False yield means measurements may be contended.
     """
     if not trainer_alive():
         yield False
@@ -114,7 +117,14 @@ def exclusive(timeout=240., poll_seconds=0.5):
                and not ack_file().exists()
                and trainer_alive()):
             time.sleep(poll_seconds)
-        yield ack_file().exists()
+        acked = ack_file().exists()
+        if not acked and trainer_alive():
+            import sys
+            print(
+                'pause.exclusive: trainer did not acknowledge within '
+                f'{timeout:.0f}s; measurements may be contended',
+                file=sys.stderr)
+        yield acked
     finally:
         try:
             pause_file().unlink()
