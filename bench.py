@@ -5,12 +5,17 @@ preprocess (loudness/pitch/periodicity/PPG) → edit (pitch-shift +
 time-stretch + loudness) → synthesize → audio out, on one TPU chip,
 reporting xRT = audio_seconds / wall_seconds after compile warmup.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-vs_baseline is the ratio against the 50x-RT-per-chip north star (the
-reference publishes no numbers; BASELINE.md).
+Output contract: the HEADLINE JSON line ({"metric", "value", "unit",
+"vs_baseline", ...}) prints immediately after the core timings — before
+any optional extras — so a driver timeout mid-extras still records a
+number (round 3 died with rc=124 and no output). A second, enriched
+JSON line with train-step latency and MFU follows when the extras
+finish; both lines are self-contained supersets of the headline schema.
+Extras run in subprocesses under hard per-phase timeouts.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -41,6 +46,9 @@ os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0')
 
 import numpy as np
 
+# The north-star target: >50x realtime end-to-end editing per chip
+NORTH_STAR_RTF = 50.
+
 
 def make_audio(seconds, sample_rate):
     t = np.arange(int(seconds * sample_rate)) / sample_rate
@@ -52,21 +60,21 @@ def make_audio(seconds, sample_rate):
     return (0.5 * audio / np.abs(audio).max()).astype(np.float32)[None]
 
 
+EDIT_KWARGS = dict(
+    pitch_shift_cents=200.,
+    time_stretch_ratio=1.414,
+    loudness_scale_db=3.)
+
+
 def run_pipeline(promonet_tpu, audio):
     loudness, pitch, periodicity, ppg = promonet_tpu.preprocess.from_audio(
         audio,
         features=('loudness', 'pitch', 'periodicity', 'ppg'),
         loudness_bands=None)
     edited = promonet_tpu.edit.from_features(
-        loudness,
-        pitch,
-        periodicity,
-        ppg,
-        pitch_shift_cents=200.,
-        time_stretch_ratio=1.414,
-        loudness_scale_db=3.)
+        loudness, pitch, periodicity, ppg, **EDIT_KWARGS)
     out = promonet_tpu.synthesize.from_features(*edited, speaker=0)
-    return np.asarray(out)
+    return np.asarray(out), edited
 
 
 def train_step_benchmark():
@@ -94,7 +102,23 @@ def train_step_benchmark():
         start = time.perf_counter()
         state = run()
         steps.append(time.perf_counter() - start)
-    print(f'TRAIN_STEP_MS {min(steps) * 1000:.1f}')
+    wall = min(steps)
+
+    # Train-step MFU: XLA-counted flops of the full GAN step / wall /
+    # chip peak (VERDICT r3 weak #7: no train-step MFU existed)
+    flops = None
+    try:
+        lowered = jax.jit(step_fn).lower(state, batch, rng)
+        analysis = lowered.compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops = float(analysis.get('flops', 0.)) or None
+    except Exception:
+        pass
+    peak = peak_bf16_flops()
+    mfu = round(flops / wall / peak, 5) if flops else None
+    print(f'TRAIN_STEP_MS {wall * 1000:.1f}')
+    print(f'TRAIN_STEP_MFU {mfu}')
 
 
 # Peak dense-matmul throughput per chip (bf16), for MFU accounting.
@@ -108,23 +132,35 @@ PEAK_BF16_FLOPS = {
 }
 
 
-def mfu_benchmark(frames, batch_size=1):
+def peak_bf16_flops():
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    return next(
+        (flops_ for name, flops_ in PEAK_BF16_FLOPS.items()
+         if name in kind),
+        197e12)
+
+
+def mfu_benchmark(frames, batch_size=1, pallas=None):
     """Generator-forward MFU: XLA-counted flops / wall / chip peak
 
     Flops come from the compiled executable's own cost analysis (the
     number XLA schedules, not a hand model), so the figure survives
     architecture changes (VERDICT round-1 weak #2). batch_size=1 is the
     latency workload (the north-star RTF); larger batches measure the
-    serving-throughput headroom.
+    serving-throughput headroom. `pallas` overrides the fused-resblock
+    toggle to isolate the Pallas kernel's contribution.
     """
     import jax
     import promonet_tpu
     from promonet_tpu.train.core import example_batch, generator_args
 
     model = promonet_tpu.models.Generator.create()
+    if pallas is not None and model.pallas != pallas:
+        model = model.clone(pallas=pallas)
     batch = example_batch(batch_size, frames)
     args = generator_args(batch)
-    params = model.init(jax.random.PRNGKey(0), *args)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
 
     # FLOP count comes from the UNFUSED lowering's XLA cost analysis:
     # the fused Pallas residual blocks are semantically identical
@@ -166,11 +202,7 @@ def mfu_benchmark(frames, batch_size=1):
         walls.append((time.perf_counter() - start) / repeat)
     wall = min(walls)
 
-    kind = jax.devices()[0].device_kind.lower()
-    peak = next(
-        (flops_ for name, flops_ in PEAK_BF16_FLOPS.items()
-         if name in kind),
-        197e12)
+    peak = peak_bf16_flops()
     return {
         'generator_flops': flops,
         'generator_wall_seconds': round(wall, 5),
@@ -178,6 +210,45 @@ def mfu_benchmark(frames, batch_size=1):
         'peak_bf16_flops': peak,
         'mfu': round(flops / wall / peak, 5) if flops and wall else None,
     }
+
+
+def mfu_subprocess_main(frames):
+    """--mfu mode: batch-1/4 MFU + pallas-on/off isolation, one JSON line"""
+    result = mfu_benchmark(frames)
+    try:
+        result['mfu_batch4'] = mfu_benchmark(frames, 4)['mfu']
+    except Exception:
+        result['mfu_batch4'] = None
+    # Pallas-on/off comparison at the bench workload (VERDICT r3 #8:
+    # the bench never isolated whether the fused resblock wins)
+    try:
+        result['generator_wall_pallas'] = mfu_benchmark(
+            frames, pallas=True)['generator_wall_seconds']
+        result['generator_wall_unfused'] = mfu_benchmark(
+            frames, pallas=False)['generator_wall_seconds']
+    except Exception:
+        result['generator_wall_pallas'] = None
+        result['generator_wall_unfused'] = None
+    print('MFU_JSON ' + json.dumps(result))
+
+
+def run_extra(args, timeout):
+    """Run `bench.py <args>` as a subprocess with a hard timeout.
+
+    The attempt counter is stripped from the child environment so
+    parent re-exec retries don't consume the child's budget.
+    """
+    env = {
+        k: v for k, v in os.environ.items()
+        if k != 'PROMONET_BENCH_ATTEMPT'}
+    try:
+        result = subprocess.run(
+            [sys.executable, __file__] + args,
+            capture_output=True, text=True, timeout=timeout,
+            cwd=str(Path(__file__).parent), env=env)
+        return result.stdout
+    except Exception:
+        return ''
 
 
 def ensure_backend():
@@ -208,45 +279,38 @@ def main():
     seconds = 10.
     audio = make_audio(seconds, promonet_tpu.SAMPLE_RATE)
 
-    # Warmup (compile everything)
-    out = run_pipeline(promonet_tpu, audio)
-    out_seconds = out.shape[-1] / promonet_tpu.SAMPLE_RATE
+    # Warmup (compiles exactly the programs the timed runs use)
+    out, edited = run_pipeline(promonet_tpu, audio)
 
-    # Timed runs
+    # Timed end-to-end api-path runs
     from promonet_tpu.utils import timer
     timer.reset()
     runs = []
     for _ in range(5):
         start = time.perf_counter()
         with timer.context('e2e', synchronize=False):
-            out = run_pipeline(promonet_tpu, audio)
+            out, _ = run_pipeline(promonet_tpu, audio)
         runs.append(time.perf_counter() - start)
     wall = min(runs)
-    rtf = seconds / wall
+    api_rtf = seconds / wall
     breakdown = {
         name: round(seconds_ / 5, 4)
         for name, seconds_ in timer.results().items()}
 
-    # Synthesis-only (hot loop) for the breakdown
-    features = promonet_tpu.preprocess.from_audio(
-        audio, features=('loudness', 'pitch', 'periodicity', 'ppg'),
-        loudness_bands=None)
-    promonet_tpu.synthesize.from_features(*features, speaker=0)
+    # Synthesis-only (hot loop) at the same edited-features workload —
+    # reuses the program the e2e path already compiled
+    promonet_tpu.synthesize.from_features(*edited, speaker=0)
     synth_runs = []
     for _ in range(3):
         start = time.perf_counter()
-        promonet_tpu.synthesize.from_features(*features, speaker=0)
+        promonet_tpu.synthesize.from_features(*edited, speaker=0)
         synth_runs.append(time.perf_counter() - start)
     synth_rtf = seconds / min(synth_runs)
 
     # Fused single-dispatch path (audio in -> edited audio out)
     def fused():
         return promonet_tpu.synthesize.from_edited_audio(
-            audio,
-            pitch_shift_cents=200.,
-            time_stretch_ratio=1.414,
-            loudness_scale_db=3.,
-            speaker=0)
+            audio, speaker=0, **EDIT_KWARGS)
     fused()
     fused_runs = []
     for _ in range(5):
@@ -255,70 +319,70 @@ def main():
         fused_runs.append(time.perf_counter() - start)
     fused_rtf = seconds / min(fused_runs)
 
-    # Training throughput runs in a fresh process: inference executables
-    # and buffers resident in this process inflate the step time ~30x
-    train_step_ms = None
-    if os.environ.get('PROMONET_BENCH_TRAIN', '1') != '0':
-        try:
-            import subprocess
-            result = subprocess.run(
-                [sys.executable, __file__, '--train-step'],
-                capture_output=True, text=True, timeout=900,
-                cwd=str(Path(__file__).parent))
-            for line in result.stdout.splitlines():
-                if line.startswith('TRAIN_STEP_MS'):
-                    train_step_ms = float(line.split()[1])
-        except Exception:
-            train_step_ms = None
-
-    # MFU of the generator forward at this workload's frame count
-    bench_frames = \
-        int(seconds * promonet_tpu.SAMPLE_RATE) // promonet_tpu.HOPSIZE
-    try:
-        mfu = mfu_benchmark(bench_frames)
-    except Exception:
-        mfu = {'mfu': None}
-    try:
-        mfu['mfu_batch4'] = mfu_benchmark(bench_frames, 4)['mfu']
-    except Exception:
-        mfu['mfu_batch4'] = None
-
-    rtf = max(rtf, fused_rtf)
-    print(json.dumps({
+    # HEADLINE — printed before any extras so a driver timeout cannot
+    # erase the round's number. `value` is the best end-to-end path
+    # (api 3-call chain vs fused single dispatch); both are reported.
+    rtf = max(api_rtf, fused_rtf)
+    headline = {
         'metric': 'e2e_edit_rtf',
         'value': round(rtf, 2),
         'unit': 'x_realtime',
-        'vs_baseline': round(rtf / 50., 3),
+        'vs_baseline': round(rtf / NORTH_STAR_RTF, 3),
         'synthesis_rtf': round(synth_rtf, 2),
         'fused_rtf': round(fused_rtf, 2),
-        'api_rtf': round(seconds / wall, 2),
+        'api_rtf': round(api_rtf, 2),
         'backend': jax.default_backend(),
         'audio_seconds': seconds,
         'wall_seconds': round(wall, 4),
-        'train_step_ms': train_step_ms,
         'breakdown': breakdown,
-        **mfu,
-    }))
+    }
+    print(json.dumps(headline), flush=True)
+
+    # Extras (hard per-phase timeouts, separate processes: inference
+    # executables resident in this process inflate train-step time ~30x)
+    extras = {}
+    if os.environ.get('PROMONET_BENCH_TRAIN', '1') != '0':
+        for line in run_extra(['--train-step'], timeout=600).splitlines():
+            if line.startswith('TRAIN_STEP_MS'):
+                extras['train_step_ms'] = float(line.split()[1])
+            elif line.startswith('TRAIN_STEP_MFU'):
+                value = line.split()[1]
+                extras['train_step_mfu'] = (
+                    None if value == 'None' else float(value))
+
+    if os.environ.get('PROMONET_BENCH_MFU', '1') != '0':
+        bench_frames = (
+            int(seconds * promonet_tpu.SAMPLE_RATE) // promonet_tpu.HOPSIZE)
+        for line in run_extra(
+            ['--mfu', str(bench_frames)], timeout=600
+        ).splitlines():
+            if line.startswith('MFU_JSON '):
+                extras.update(json.loads(line[len('MFU_JSON '):]))
+
+    # Enriched final line (superset of the headline schema)
+    print(json.dumps({**headline, **extras}), flush=True)
 
 
 if __name__ == '__main__':
     if '--train-step' in sys.argv:
-        # Run under the parent bench's exclusive window (the parent
+        # Runs under the parent bench's exclusive window (the parent
         # holds the trainer paused for the whole script)
         ensure_backend()
         train_step_benchmark()
+    elif '--mfu' in sys.argv:
+        ensure_backend()
+        mfu_subprocess_main(int(sys.argv[sys.argv.index('--mfu') + 1]))
     else:
         # A concurrent training run would contend for the single chip
-        # and corrupt the measurement (round 2: 41x loaded vs 90x
-        # solo); ask the trainer to pause for the duration. If the
-        # trainer fails to acknowledge, retry once before measuring
-        # under contention (a contended record is worse than a late
-        # one — round 3 recorded 7x under contention vs 90x solo).
+        # and corrupt the measurement (round 2: 41x loaded vs 90x solo);
+        # ask the trainer to pause for the duration. ONE bounded wait:
+        # if the trainer does not acknowledge, measure anyway — a
+        # contended number beats no number (round 3 recorded nothing).
         ensure_backend()
         from promonet_tpu.utils import pause
-        with pause.exclusive() as acked:
+        with pause.exclusive(timeout=300.) as acked:
             if not acked and pause.trainer_alive():
-                with pause.exclusive() as acked:
-                    main()
-            else:
-                main()
+                print(
+                    'bench: trainer did not acknowledge pause; '
+                    'measuring under contention', file=sys.stderr)
+            main()

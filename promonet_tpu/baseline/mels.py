@@ -18,7 +18,7 @@ def _cached_model(checkpoint):
         model = promonet_tpu.models.MelGenerator.create()
         if checkpoint is None:
             num_freqs = promonet_tpu.WINDOW_SIZE // 2 + 1
-            params = model.init(
+            params = jax.jit(model.init)(
                 jax.random.PRNGKey(0),
                 jnp.full((1, num_freqs, 64), 1e-3),
                 jnp.zeros((1,), jnp.int32),

@@ -4,7 +4,8 @@ TPU-native re-design of the reference configuration surface
 (reference: promonet/config/defaults.py). Hyperparameter names and values
 match the reference so that experiment configs transfer 1:1; anything
 torch-specific (optimizer partials, GPU queries) is replaced with a
-framework-neutral specification resolved by the training layer.
+framework-neutral specification resolved by the training layer. Comment
+text is our own; only the identifiers and values are shared.
 """
 import os
 from pathlib import Path
@@ -15,56 +16,56 @@ from pathlib import Path
 ###############################################################################
 
 
-# Configuration name
+# Name identifying this configuration (selects run/eval/results subdirs)
 CONFIG = 'promonet'
 
 
 ###############################################################################
-# Audio parameters
+# Audio
 ###############################################################################
 
 
-# Threshold to sparsify Mel spectrograms
+# Log-mel floor used when sparsifying spectrograms; None disables clamping
 DYNAMIC_RANGE_COMPRESSION_THRESHOLD = None
 
-# Minimum and maximum frequency
+# Pitch search range bounds
 FMIN = 50.  # Hz
 FMAX = 550.  # Hz
 
-# Audio hopsize
+# Samples between analysis frames
 HOPSIZE = 256  # samples
 
-# Maximum number of speech harmonics
+# Harmonic contours F0..Fk extracted by the harmonics module
 MAX_HARMONICS = 3
 
-# Minimum decibel level
+# Loudness floor; silence clamps to this value
 MIN_DB = -100.
 
-# Number of melspectrogram channels
+# Mel filterbank size
 NUM_MELS = 80
 
-# Number of spectrogram channels
+# FFT length for spectrograms (NUM_FFT // 2 + 1 frequency bins)
 NUM_FFT = 1024
 
-# Reference decibel level
+# Loudness value mapped to full scale
 REF_DB = 20.
 
-# Audio sample rate
+# Waveform rate used everywhere past the loader
 SAMPLE_RATE = 22050  # Hz
 
-# Analysis window size
+# STFT analysis window length
 WINDOW_SIZE = 1024
 
 
 ###############################################################################
-# Data parameters
+# Data
 ###############################################################################
 
 
-# Whether to perform speaker adaptation (instead of multi-speaker)
+# Few-shot speaker adaptation mode (vs multi-speaker training)
 ADAPTATION = False
 
-# All features considered during preprocessing
+# Every feature the preprocessor knows how to produce
 ALL_FEATURES = [
     'loudness',
     'pitch',
@@ -75,67 +76,66 @@ ALL_FEATURES = [
     'harmonics',
     'speaker']
 
-# Whether to use loudness augmentation
+# Train on loudness-scaled copies of each utterance
 AUGMENT_LOUDNESS = True
 
-# Whether to use pitch augmentation
+# Train on pitch-shifted (resampled) copies of each utterance
 AUGMENT_PITCH = True
 
-# Maximum ratio for pitch augmentation
+# Log-uniform augmentation ratio range
 AUGMENTATION_RATIO_MAX = 2.
-
-# Minimum ratio for pitch augmentation
 AUGMENTATION_RATIO_MIN = .5
 
-# Names of all datasets
+# Datasets the download/format layer supports
 DATASETS = ['daps', 'libritts', 'vctk']
 
-# Number of bands of A-weighted loudness
+# Band count for the averaged A-weighted loudness conditioning
 LOUDNESS_BANDS = 8
 
-# Whether to use an embedding layer for pitch
+# Represent pitch as a learned per-bin embedding (vs a scalar channel)
 PITCH_EMBEDDING = True
 
-# Number of pitch bins
+# Quantization resolution of the pitch contour
 PITCH_BINS = 256
 
-# Embedding size used to represent each pitch bin
+# Width of each learned pitch-bin vector
 PITCH_EMBEDDING_SIZE = 64
 
-# Number of channels in the phonetic posteriorgram features
+# Phoneme categories in the posteriorgram
 PPG_CHANNELS = 40
 
-# Type of interpolation method to use to scale PPG features
+# Resampling mode when PPGs are stretched onto a new time grid.
 # Available methods are ['linear', 'nearest']
 PPG_INTERP_METHOD = 'linear'
 
-# Whether to shift Mel inputs to have a minimum of zero
+# Offset mel inputs so their floor sits at zero
 SPARSE_MELS = False
 
-# Type of sparsification used for ppgs
+# PPG sparsification strategy.
 # One of ['constant', 'percentile', 'topk', None]
 SPARSE_PPG_METHOD = 'percentile'
 
-# Threshold for ppg sparsification.
-# In [0, 1] for 'constant' and 'percentile'; integer > 0 for 'topk'.
+# Sparsification strength: probability mass in [0, 1] for 'constant' and
+# 'percentile'; an integer count > 0 for 'topk'
 SPARSE_PPG_THRESHOLD = 0.85
 
-# Seed for all random number generators
+# Global RNG seed (partitioning, augmentation, sampling, init)
 RANDOM_SEED = 1234
 
-# Only use spectral features
+# Condition the generator on spectrograms alone (MelGenerator mode)
 SPECTROGRAM_ONLY = False
 
-# Dataset to use for training
+# Which dataset the training loop reads
 TRAINING_DATASET = 'vctk'
 
-# Whether to use variable-width pitch bins
+# Place pitch-bin boundaries at dataset pitch quantiles rather than
+# uniformly in log-Hz
 VARIABLE_PITCH_BINS = True
 
-# Whether to perform Viterbi decoding on pitch features
+# Decode the pitch posteriors with Viterbi (vs per-frame argmax)
 VITERBI_DECODE_PITCH = True
 
-# Default periodicity threshold of the voiced/unvoiced decision
+# Periodicity cutoff for the voiced/unvoiced decision
 VOICING_THRESHOLD = .1625
 
 
@@ -144,246 +144,240 @@ VOICING_THRESHOLD = .1625
 ###############################################################################
 
 
-# Root location for saving outputs
+# Base directory for all generated artifacts
 ROOT_DIR = Path(
     os.environ.get('PROMONET_TPU_ROOT', Path(__file__).parent.parent.parent))
 
-# Location of assets (partitions, stats, augmentation ratios)
+# Shipped assets: partitions, pitch statistics, augmentation ratios
 ASSETS_DIR = Path(__file__).parent.parent / 'assets'
 
-# Location of preprocessed features
+# Preprocessed-feature cache
 CACHE_DIR = ROOT_DIR / 'data' / 'cache'
 
-# Location of datasets on disk
+# Raw downloaded datasets
 DATA_DIR = ROOT_DIR / 'data' / 'datasets'
 
-# Location to save evaluation artifacts
+# Evaluation outputs (objective + subjective listening material)
 EVAL_DIR = ROOT_DIR / 'eval'
 
-# Location to save results
+# Aggregated metric JSONs
 RESULTS_DIR = ROOT_DIR / 'results'
 
-# Location to save training and adaptation artifacts
+# Training/adaptation run state (checkpoints, logs)
 RUNS_DIR = ROOT_DIR / 'runs'
 
 
 ###############################################################################
-# Discriminator parameters
+# Discriminators
 ###############################################################################
 
 
-# Whether to use the complex multi-band discriminator from RVQGAN
+# RVQGAN-style complex multi-band STFT discriminator
 COMPLEX_MULTIBAND_DISCRIMINATOR = True
 
-# Whether to use the multi-period waveform discriminator from HiFi-GAN
+# HiFi-GAN multi-period waveform discriminator
 MULTI_PERIOD_DISCRIMINATOR = True
 
-# Whether to use the multi-resolution spectrogram discriminator from UnivNet
+# UnivNet multi-resolution magnitude-STFT discriminator
 MULTI_RESOLUTION_DISCRIMINATOR = False
 
-# Whether to use the multi-scale waveform discriminator from MelGAN
+# MelGAN multi-scale waveform discriminator
 MULTI_SCALE_DISCRIMINATOR = False
 
 
 ###############################################################################
-# Evaluation parameters
+# Evaluation
 ###############################################################################
 
 
-# Features to plot
+# Panels drawn by the plotting module when none are requested
 DEFAULT_PLOT_FEATURES = ['audio', 'loudness', 'pitch', 'periodicity', 'ppg']
 
-# Error threshold beyond which a frame of loudness is considered incorrect
+# Per-frame error tolerances: a frame counts as wrong past these
 ERROR_THRESHOLD_LOUDNESS = 6.  # decibels
-
-# Error threshold beyond which a frame of periodicity is considered incorrect
 ERROR_THRESHOLD_PERIODICITY = .1
-
-# Error threshold beyond which a frame of pitch is considered incorrect
 ERROR_THRESHOLD_PITCH = 50.  # cents
-
-# Error threshold beyond which a frame of PPG is considered incorrect
 ERROR_THRESHOLD_PPG = .1  # JSD
 
-# Evaluation ratios for pitch-shifting, time-stretching, and loudness-scaling
+# Shift/stretch/scale factors exercised by offline evaluation
 EVALUATION_RATIOS = [.717, 1.414]
 
 
 ###############################################################################
-# Generator parameters
+# Generator
 ###############################################################################
 
 
-# Input features
+# Conditioning features fed to the generator
 INPUT_FEATURES = ['loudness', 'pitch', 'periodicity', 'ppg']
 
-# (Negative) slope of leaky ReLU activations
+# Negative-side slope of every leaky ReLU
 LRELU_SLOPE = .1
 
-# The model to use.
+# Vocoder backbone.
 # One of ['cargan', 'fargan', 'hifigan', 'vocos', 'world'].
 MODEL = 'hifigan'
 
-# Number of previous samples to use
+# CARGAN: waveform lookback window feeding the autoregressive encoder
 CARGAN_INPUT_SIZE = 2 * HOPSIZE
 
-# Autoregressive hidden size
+# CARGAN: encoder MLP width
 CARGAN_HIDDEN_SIZE = 256
 
-# Number of autoregressive output channels
+# CARGAN: channels the encoder contributes to the backbone input
 CARGAN_OUTPUT_SIZE = 128
 
-# Whether to use additive noise with FARGAN
+# FARGAN: inject ±1/254 noise during training
 FARGAN_ADDITIVE_NOISE = True
 
-# Whether to use the same discriminator as FARGAN
+# Adversary: use FARGAN's own spectral discriminator
 FARGAN_DISCRIMINATOR = False
 
-# Whether to use gain normalization in the subframe network
+# FARGAN: normalize subframe gain
 FARGAN_GAIN_NORMALIZATION = False
 
-# Number of previous frames used for lookback in FARGAN
+# FARGAN: frames of history available to the pitch-period lookback
 FARGAN_PREVIOUS_FRAMES = 2  # frames
 
-# Number of subframes per frame
+# FARGAN: autoregressive subdivisions of each frame
 FARGAN_SUBFRAMES = 4  # subframes
 
-# Number of samples per subframe
+# FARGAN: samples generated per subframe
 FARGAN_SUBFRAME_SIZE = HOPSIZE // FARGAN_SUBFRAMES  # samples
 
-# Kernel sizes of residual block
+# HiFi-GAN: parallel residual-branch kernel widths
 HIFIGAN_RESBLOCK_KERNEL_SIZES = [3, 7, 11]
 
-# Dilation rates of residual block
+# HiFi-GAN: dilation schedule inside each residual branch
 HIFIGAN_RESBLOCK_DILATION_SIZES = [[1, 3, 5], [1, 3, 5], [1, 3, 5]]
 
-# Initial channel size for upsampling layers
+# HiFi-GAN: channel width entering the first upsampling stage
 HIFIGAN_UPSAMPLE_INITIAL_SIZE = 512
 
-# Kernel sizes of upsampling layers
+# HiFi-GAN: transposed-conv kernel widths per stage
 HIFIGAN_UPSAMPLE_KERNEL_SIZES = [16, 16, 4, 4]
 
-# Upsample rates of residual blocks
+# HiFi-GAN: temporal upsampling factor per stage (product = HOPSIZE)
 HIFIGAN_UPSAMPLE_RATES = [8, 8, 2, 2]
 
-# Speaker embedding size
+# Width of the speaker identity vector
 SPEAKER_CHANNELS = 256
 
-# The size of intermediate feature activations in VITS
+# VITS latent width (kept for config compatibility)
 VITS_CHANNELS = 192
 
-# Hidden dimension channel size
+# VITS prior-encoder width (kept for config compatibility)
 VITS_PRIOR_CHANNELS = 768
 
-# The size of feature activations in Vocos
+# Vocos: ConvNeXt trunk width
 VOCOS_CHANNELS = 512
 
-# The size of pointwise convolutions in Vocos
+# Vocos: ConvNeXt inverted-bottleneck width
 VOCOS_POINTWISE_CHANNELS = 1536
 
-# Number of neural network layers in Vocos
+# Vocos: ConvNeXt depth
 VOCOS_LAYERS = 6
 
-# Number of channels of WavLM x-vector embedding
+# Dimensionality of WavLM x-vectors
 WAVLM_EMBEDDING_CHANNELS = 512
 
-# Whether to use WavLM x-vectors for zero-shot speaker conditioning
+# Condition on WavLM x-vectors instead of a learned speaker table
 ZERO_SHOT = False
 
-# Whether to shuffle speaker embeddings during training
+# Swap in a different utterance's embedding of the same speaker
 ZERO_SHOT_SHUFFLE = False
 
 
 ###############################################################################
-# Logging parameters
+# Logging
 ###############################################################################
 
 
-# Number of steps between saving checkpoints
+# Checkpoint cadence
 CHECKPOINT_INTERVAL = 20000  # steps
 
-# Number of steps between logging to Tensorboard
+# Validation/TensorBoard cadence
 EVALUATION_INTERVAL = 2500  # steps
 
-# Number of steps to perform for tensorboard logging
+# Validation batches consumed per logging pass
 DEFAULT_EVALUATION_STEPS = 16
 
-# Number of examples to plot while evaluating during training
+# Prosody-overlay figures rendered per logging pass
 PLOT_EXAMPLES = 10
 
 
 ###############################################################################
-# Loss parameters
+# Losses
 ###############################################################################
 
 
-# Whether to use hinge loss instead of L2
+# Hinge adversarial objective instead of least-squares
 ADVERSARIAL_HINGE_LOSS = False
 
-# Step to start using adversarial loss
+# Generator starts receiving adversarial gradient at this step
 ADVERSARIAL_LOSS_START_STEP = 0
 
-# Weight applied to the discriminator loss
+# Scale on the adversarial term
 ADVERSARIAL_LOSS_WEIGHT = 1.
 
-# Step to start training discriminator
+# Discriminator optimization begins at this step
 DISCRIMINATOR_START_STEP = 0
 
-# Weight applied to the feature matching loss
+# Scale on the feature-matching term
 FEATURE_MATCHING_LOSS_WEIGHT = 1.
 
-# Whether to omit the first activation of each discriminator
+# Drop each discriminator's first activation from feature matching
 FEATURE_MATCHING_OMIT_FIRST = False
 
-# Weight applied to the KL divergence loss
+# Scale on the KL term (VITS-style models; config compatibility)
 KL_DIVERGENCE_LOSS_WEIGHT = 1.
 
-# Whether to use mel spectrogram loss
+# L1 mel-spectrogram reconstruction term
 MEL_LOSS = True
 
-# Weight applied to the melspectrogram loss
+# Scale on the mel term
 MEL_LOSS_WEIGHT = 45.
 
-# Whether to use multi-mel loss
+# Mel loss summed over several window sizes
 MULTI_MEL_LOSS = False
 
-# Window sizes to be used in the multi-scale mel loss
+# Window sizes for the multi-scale mel variant
 MULTI_MEL_LOSS_WINDOWS = [32, 64, 128, 256, 512, 1024, 2048]
 
-# Whether to compare raw audio signals
+# Normalized-correlation loss directly on waveforms
 SIGNAL_LOSS = False
 
-# Weight applied to signal loss
+# Scale on the signal term
 SIGNAL_LOSS_WEIGHT = .03
 
-# Whether to shift the Mels given to the Mel loss to have a minimum of zero
+# Zero-floor the mels inside the mel loss
 SPARSE_MEL_LOSS = False
 
-# Whether to use multi-resolution spectral convergence loss
+# Multi-resolution spectral convergence term
 SPECTRAL_CONVERGENCE_LOSS = False
 
 
 ###############################################################################
-# Training parameters
+# Training
 ###############################################################################
 
 
 # Batch size (global; sharded over the data axis of the device mesh)
 BATCH_SIZE = 64
 
-# Training sequence length
+# Samples per training example (random crop; reflect-pad if short)
 CHUNK_SIZE = 16384  # samples
 
-# Gradients above this value are clipped to this value
+# Inf-norm clip on generator gradients; None disables
 GRADIENT_CLIP_GENERATOR = None
 
-# Number of training steps
+# Optimization budget
 STEPS = 800000
 
-# Number of adaptation steps
+# Additional steps when adapting to a new speaker
 ADAPTATION_STEPS = 10000
 
-# Number of data loading worker threads
+# Host-side data-loading parallelism
 NUM_WORKERS = 10
 
 # Optimizer specification; resolved to an optax optimizer by the train layer.

@@ -150,8 +150,9 @@ class PitchCNN:
             if 'voicing_threshold' in payload:
                 self.voicing_threshold = float(payload['voicing_threshold'])
         else:
-            self.params = self.module.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, self.FRAME_SIZE)))
+            with jax.ensure_compile_time_eval():
+                self.params = jax.jit(self.module.init)(
+                    jax.random.PRNGKey(0), jnp.zeros((1, self.FRAME_SIZE)))
 
     @classmethod
     def instance(cls):

@@ -83,7 +83,7 @@ def _model():
             # Init must run outside any enclosing trace: the cache holds
             # concrete arrays (a tracer here would leak across jits)
             with jax.ensure_compile_time_eval():
-                params = module.init(
+                params = jax.jit(module.init)(
                     jax.random.PRNGKey(0),
                     jnp.zeros((1, 16, promonet_tpu.NUM_MELS)))
         _model.cache = (module, params)

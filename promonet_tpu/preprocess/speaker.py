@@ -129,7 +129,7 @@ def _encoder():
                         checkpoint)['params'])
         else:
             with jax.ensure_compile_time_eval():
-                params = encoder.module.init(
+                params = jax.jit(encoder.module.init)(
                     jax.random.PRNGKey(0),
                     jnp.zeros((1, 16, promonet_tpu.NUM_MELS)),
                     jnp.full((1,), 16, jnp.int32))

@@ -445,8 +445,10 @@ def _cached_model(checkpoint):
         with timer.context('load'):
             model = promonet_tpu.models.Generator.create()
             if checkpoint is None:
-                # Random init (testing / benchmarking without a checkpoint)
-                params = model.init(
+                # Random init (testing / benchmarking without a
+                # checkpoint). Jitted: eager init pays one tunnel
+                # round-trip per primitive (~270 s measured r4)
+                params = jax.jit(model.init)(
                     jax.random.PRNGKey(0),
                     *generator_args(example_batch()))
             else:

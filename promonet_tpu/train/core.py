@@ -312,11 +312,15 @@ def create_state(rng):
     init_rngs = {'params': g_rng}
     if promonet_tpu.MODEL == 'fargan':
         init_rngs['noise'] = noise_rng
-    g_params = generator.init(
+    # Inits run under jit: eager flax init dispatches one device op per
+    # primitive, which costs ~0.3 s each over the tunneled attachment —
+    # 270+ s for the generator alone (measured r4; misdiagnosed as XLA
+    # compile time in round 3). Compiled, the same init is seconds.
+    g_params = jax.jit(generator.init)(
         init_rngs,
         *generator_args(batch),
         previous_samples=previous_samples_of(batch))
-    d_params = discriminators.init(
+    d_params = jax.jit(discriminators.init)(
         {'params': d_rng}, batch['audio'], batch['audio'])
 
     g_optimizer = build_optimizer()
@@ -324,11 +328,11 @@ def create_state(rng):
     return {
         'generator': {
             'params': g_params,
-            'opt_state': g_optimizer.init(g_params),
+            'opt_state': jax.jit(g_optimizer.init)(g_params),
         },
         'discriminator': {
             'params': d_params,
-            'opt_state': d_optimizer.init(d_params),
+            'opt_state': jax.jit(d_optimizer.init)(d_params),
         },
     }
 

@@ -12,7 +12,12 @@ No reference counterpart (the reference is single-process per GPU).
 
 Protocol files (under RUNS_DIR):
     trainer.pid  — written by the trainer at startup, removed at exit
-    PAUSE        — created by a benchmark to request exclusive access
+    PAUSE        — created by a benchmark to request exclusive access;
+                   contains the requester's pid so the trainer can
+                   expire requests whose owner died without cleanup
+                   (e.g. the driver SIGKILLing a timed-out benchmark —
+                   the `finally` unlink never runs, and without the
+                   liveness check the trainer would park forever)
     PAUSE.ack    — created by the trainer once drained and idle
 """
 import contextlib
@@ -57,19 +62,52 @@ def unregister_trainer():
             pass
 
 
+def _pause_requester_alive():
+    """Whether the process that created PAUSE is still running.
+
+    A PAUSE file with no parseable pid (legacy empty file) or a dead
+    owner is stale — the requester was killed before its cleanup ran —
+    and must not park the trainer.
+    """
+    try:
+        pid = int(pause_file().read_text())
+    except (FileNotFoundError, ValueError):
+        return False
+    try:
+        os.kill(pid, 0)
+    except OSError:
+        return False
+    return True
+
+
+def _expire_stale_pause():
+    try:
+        pause_file().unlink()
+    except FileNotFoundError:
+        pass
+
+
 def maybe_pause(drain=None, poll_seconds=1.):
     """If a pause is requested, drain in-flight work and idle until released
 
     Called once per dispatch in the train loop. `drain` materializes any
     enqueued device work so the chip is genuinely idle while paused.
+    Requests whose owner process has died are expired rather than
+    honored, both on entry and while idling.
     """
     if not pause_file().exists():
+        return False
+    if not _pause_requester_alive():
+        _expire_stale_pause()
         return False
     if drain is not None:
         drain()
     ack_file().touch()
     try:
         while pause_file().exists():
+            if not _pause_requester_alive():
+                _expire_stale_pause()
+                break
             time.sleep(poll_seconds)
     finally:
         try:
@@ -110,7 +148,7 @@ def exclusive(timeout=600., poll_seconds=0.5):
     if not trainer_alive():
         yield False
         return
-    pause_file().touch()
+    pause_file().write_text(str(os.getpid()))
     try:
         deadline = time.time() + timeout
         while (time.time() < deadline

@@ -4,22 +4,29 @@
 # - Warm-starts from the committed release checkpoint when the run dir
 #   has no full training checkpoint (host wipes drop the gitignored
 #   generator-*/discriminator-* state; the params-only release survives
-#   in git).
+#   in git). The copy goes through a temp name + atomic mv so an
+#   interrupted copy cannot leave a partial checkpoint that satisfies
+#   the existence guard on the next launch.
 # - Retries on nonzero exit: the tunneled TPU attachment sporadically
 #   fails hard at backend init when another client is attaching or
 #   detaching ("Backend 'axon' is not in the list of known backends");
 #   auto-resume + the persistent compile cache make restarts cheap.
-cd "$(dirname "$0")/.."
+#   Exhausting the retry budget propagates the last failure code.
+cd "$(dirname "$0")/.." || exit 1
 export PYTHONPATH="$PWD"
 
 if ! ls runs/promonet/generator-0* >/dev/null 2>&1; then
     latest=$(ls -d runs/promonet/release/generator-* 2>/dev/null | sort | tail -1)
     if [ -n "$latest" ]; then
         echo "warm-starting from release checkpoint $latest"
-        cp -r "$latest" runs/promonet/
+        rm -rf runs/promonet/.tmp-warmstart
+        cp -r "$latest" runs/promonet/.tmp-warmstart \
+            && mv runs/promonet/.tmp-warmstart \
+                 "runs/promonet/$(basename "$latest")"
     fi
 fi
 
+rc=1
 for i in $(seq 1 60); do
     python -m promonet_tpu.train --config runs/promonet/synthetic.py
     rc=$?
@@ -27,3 +34,4 @@ for i in $(seq 1 60); do
     echo "trainer exited rc=$rc; retry $i" >&2
     sleep 15
 done
+exit $rc
