@@ -272,6 +272,66 @@ def ensure_backend():
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
+_START = time.time()
+
+
+def log_phase(name):
+    print(f'[bench +{time.time() - _START:7.1f}s] {name}',
+          file=sys.stderr, flush=True)
+    _watchdog_progress()
+
+
+###############################################################################
+# Wedge watchdog
+###############################################################################
+
+
+# The tunneled TPU attachment can hang indefinitely — at attach (observed:
+# 18+ min with zero CPU, no conn threads) or mid-dispatch (the same wedge
+# hits the trainer). A hung bench records NOTHING (round 3: rc=124, no
+# output). Every phase arms a deadline; if the next phase marker doesn't
+# arrive in time, re-exec this process (bounded attempts — the persistent
+# compilation cache makes retries much cheaper than first runs).
+_WATCHDOG = {'deadline': None, 'armed': False}
+
+
+def _watchdog_progress(
+    deadline=float(os.environ.get('PROMONET_BENCH_PHASE_DEADLINE', '300'))
+):
+    import threading
+
+    _WATCHDOG['deadline'] = time.time() + deadline
+    if _WATCHDOG['armed']:
+        return
+    _WATCHDOG['armed'] = True
+
+    def watch():
+        while True:
+            remaining = _WATCHDOG['deadline'] - time.time()
+            if remaining <= 0:
+                attempt = int(os.environ.get('PROMONET_BENCH_ATTEMPT', '0'))
+                print(
+                    f'[bench watchdog] phase stalled >{deadline:.0f}s '
+                    f'(attempt {attempt}); re-exec',
+                    file=sys.stderr, flush=True)
+                if attempt >= 4:
+                    os._exit(3)
+                os.environ['PROMONET_BENCH_ATTEMPT'] = str(attempt + 1)
+                try:
+                    from promonet_tpu.utils import pause
+                    pause.pause_file().unlink(missing_ok=True)
+                except Exception:
+                    pass
+                os.execv(sys.executable, [sys.executable] + sys.argv)
+            time.sleep(min(remaining, 10.))
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
+def _watchdog_disarm():
+    _WATCHDOG['deadline'] = time.time() + 10 * 3600
+
+
 def main():
     import jax
     import promonet_tpu
@@ -280,9 +340,11 @@ def main():
     audio = make_audio(seconds, promonet_tpu.SAMPLE_RATE)
 
     # Warmup (compiles exactly the programs the timed runs use)
+    log_phase('warmup: api pipeline (preprocess/edit/synthesize compiles)')
     out, edited = run_pipeline(promonet_tpu, audio)
 
     # Timed end-to-end api-path runs
+    log_phase('timing: api path')
     from promonet_tpu.utils import timer
     timer.reset()
     runs = []
@@ -297,8 +359,26 @@ def main():
         name: round(seconds_ / 5, 4)
         for name, seconds_ in timer.results().items()}
 
+    # PRELIMINARY headline (api path only): printed before the fused
+    # program's compile so even an aggressive driver timeout records a
+    # number. Superseded by the full headline and the enriched line —
+    # every later line is a strict superset with equal-or-better value.
+    preliminary = {
+        'metric': 'e2e_edit_rtf',
+        'value': round(api_rtf, 2),
+        'unit': 'x_realtime',
+        'vs_baseline': round(api_rtf / NORTH_STAR_RTF, 3),
+        'api_rtf': round(api_rtf, 2),
+        'backend': jax.default_backend(),
+        'audio_seconds': seconds,
+        'wall_seconds': round(wall, 4),
+        'breakdown': breakdown,
+    }
+    print(json.dumps(preliminary), flush=True)
+
     # Synthesis-only (hot loop) at the same edited-features workload —
     # reuses the program the e2e path already compiled
+    log_phase('timing: synthesis-only')
     promonet_tpu.synthesize.from_features(*edited, speaker=0)
     synth_runs = []
     for _ in range(3):
@@ -308,10 +388,13 @@ def main():
     synth_rtf = seconds / min(synth_runs)
 
     # Fused single-dispatch path (audio in -> edited audio out)
+    log_phase('warmup: fused single-dispatch program')
+
     def fused():
         return promonet_tpu.synthesize.from_edited_audio(
             audio, speaker=0, **EDIT_KWARGS)
     fused()
+    log_phase('timing: fused path')
     fused_runs = []
     for _ in range(5):
         start = time.perf_counter()
@@ -339,9 +422,14 @@ def main():
     print(json.dumps(headline), flush=True)
 
     # Extras (hard per-phase timeouts, separate processes: inference
-    # executables resident in this process inflate train-step time ~30x)
+    # executables resident in this process inflate train-step time ~30x).
+    # The parent only waits on subprocess.run timeouts here — it cannot
+    # wedge — so the re-exec watchdog stands down (a re-exec now would
+    # discard the already-printed headline's context for no benefit).
+    _watchdog_disarm()
     extras = {}
     if os.environ.get('PROMONET_BENCH_TRAIN', '1') != '0':
+        log_phase('extra: train step (subprocess)')
         for line in run_extra(['--train-step'], timeout=600).splitlines():
             if line.startswith('TRAIN_STEP_MS'):
                 extras['train_step_ms'] = float(line.split()[1])
@@ -351,6 +439,7 @@ def main():
                     None if value == 'None' else float(value))
 
     if os.environ.get('PROMONET_BENCH_MFU', '1') != '0':
+        log_phase('extra: MFU (subprocess)')
         bench_frames = (
             int(seconds * promonet_tpu.SAMPLE_RATE) // promonet_tpu.HOPSIZE)
         for line in run_extra(
@@ -367,17 +456,22 @@ if __name__ == '__main__':
     if '--train-step' in sys.argv:
         # Runs under the parent bench's exclusive window (the parent
         # holds the trainer paused for the whole script)
+        log_phase('attach (train-step subprocess)')
         ensure_backend()
         train_step_benchmark()
+        _watchdog_disarm()
     elif '--mfu' in sys.argv:
+        log_phase('attach (mfu subprocess)')
         ensure_backend()
         mfu_subprocess_main(int(sys.argv[sys.argv.index('--mfu') + 1]))
+        _watchdog_disarm()
     else:
         # A concurrent training run would contend for the single chip
         # and corrupt the measurement (round 2: 41x loaded vs 90x solo);
         # ask the trainer to pause for the duration. ONE bounded wait:
         # if the trainer does not acknowledge, measure anyway — a
         # contended number beats no number (round 3 recorded nothing).
+        log_phase('attach')
         ensure_backend()
         from promonet_tpu.utils import pause
         with pause.exclusive(timeout=300.) as acked:

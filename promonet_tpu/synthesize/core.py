@@ -361,17 +361,21 @@ def default_checkpoint():
         mtime = run_dir.stat().st_mtime_ns
     except OSError:
         mtime = None
+    # Cache only the PATH resolution — the compatibility verdict below
+    # is keyed separately so a config change (different architecture,
+    # same run dir) re-gates rather than returning a stale checkpoint
     if not hasattr(default_checkpoint, '_resolved'):
         default_checkpoint._resolved = {}
     cache_key = (str(run_dir), mtime)
     if cache_key in default_checkpoint._resolved:
-        return default_checkpoint._resolved[cache_key]
-    try:
-        resolved = promonet_tpu.utils.checkpoint.latest_path(run_dir)
-    except Exception:
-        resolved = None
+        resolved = default_checkpoint._resolved[cache_key]
+    else:
+        try:
+            resolved = promonet_tpu.utils.checkpoint.latest_path(run_dir)
+        except Exception:
+            resolved = None
+        default_checkpoint._resolved[cache_key] = resolved
     if resolved is None:
-        default_checkpoint._resolved[cache_key] = None
         return None
 
     # A run checkpoint may have been trained under a different config
@@ -388,9 +392,7 @@ def default_checkpoint():
                 f'default checkpoint {resolved} does not match the active '
                 'configuration (load its config, e.g. '
                 'PROMONET_TPU_CONFIG=<run>/<config>.py); using random init')
-    result = resolved if default_checkpoint._compatible[key] else None
-    default_checkpoint._resolved[cache_key] = result
-    return result
+    return resolved if default_checkpoint._compatible[key] else None
 
 
 def load_params(checkpoint=None):

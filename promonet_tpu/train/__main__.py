@@ -35,9 +35,13 @@ def main():
     directory.mkdir(parents=True, exist_ok=True)
 
     # Copy configuration into the run directory
-    # (reference: promonet/train/__main__.py:21-27)
+    # (reference: promonet/train/__main__.py:21-27). Resuming with
+    # --config pointing at the run dir's own copy is a no-op, not an
+    # error.
     for config in parser.config_paths:
-        shutil.copyfile(config, directory / Path(config).name)
+        target = directory / Path(config).name
+        if Path(config).resolve() != target.resolve():
+            shutil.copyfile(config, target)
 
     promonet_tpu.train(
         directory,

@@ -164,7 +164,10 @@ def train(
 
     for batch in batches():
 
-        pause.maybe_pause(drain)
+        pause.heartbeat()
+        pause.maybe_pause(
+            drain,
+            on_pause=lambda: save_checkpoint(directory, state, step, epoch))
 
         if step in boundaries:
             step_fn = step_fn_for(step)
@@ -677,9 +680,14 @@ def evaluate(directory, step, state, valid_loader, mesh, max_batches=None):
     mel_total, count = 0., 0
     audio_logs, figure_logs = {}, {}
 
+    from ..utils import pause
+
     for i, batch in enumerate(valid_loader):
         if i >= max_batches:
             break
+        # Validation can legitimately run minutes with low client CPU
+        # (server-side compiles); keep the wedge watchdog fed
+        pause.heartbeat()
         # Validation batches are batch-size-1 (promonet/data/sampler.py:
         # 18-22) and may not divide the data axis: replicate them
         device_batch = promonet_tpu.parallel.replicate_batch(batch, mesh)

@@ -44,6 +44,24 @@ def pid_file():
     return _runs_dir() / 'trainer.pid'
 
 
+def heartbeat_file():
+    return _runs_dir() / 'heartbeat'
+
+
+def heartbeat():
+    """Touch the liveness file the watchdog monitors.
+
+    The tunneled TPU attachment can drop mid-dispatch, leaving the
+    client blocked forever inside `jax.device_get` with zero CPU
+    accrual (observed: 70 min silent at a fixed step). The trainer
+    touches this file once per dispatch and while idling in a pause;
+    `scripts/supervise_flagship.sh` kills the trainer when the file
+    goes stale AND the process burns no CPU (a long XLA compile burns
+    a full core, so it never false-positives).
+    """
+    heartbeat_file().touch()
+
+
 ###############################################################################
 # Trainer side
 ###############################################################################
@@ -87,13 +105,17 @@ def _expire_stale_pause():
         pass
 
 
-def maybe_pause(drain=None, poll_seconds=1.):
+def maybe_pause(drain=None, poll_seconds=1., on_pause=None):
     """If a pause is requested, drain in-flight work and idle until released
 
     Called once per dispatch in the train loop. `drain` materializes any
     enqueued device work so the chip is genuinely idle while paused.
-    Requests whose owner process has died are expired rather than
-    honored, both on entry and while idling.
+    `on_pause` runs after the drain and before the acknowledgement — the
+    trainer checkpoints there, so if the shared attachment wedges while
+    another client hammers the chip (the benchmark's failure mode is
+    also the trainer's), no steps are lost. Requests whose owner process
+    has died are expired rather than honored, both on entry and while
+    idling.
     """
     if not pause_file().exists():
         return False
@@ -102,12 +124,15 @@ def maybe_pause(drain=None, poll_seconds=1.):
         return False
     if drain is not None:
         drain()
+    if on_pause is not None:
+        on_pause()
     ack_file().touch()
     try:
         while pause_file().exists():
             if not _pause_requester_alive():
                 _expire_stale_pause()
                 break
+            heartbeat()
             time.sleep(poll_seconds)
     finally:
         try:

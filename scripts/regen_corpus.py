@@ -25,6 +25,12 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
+
+# Self-locate the repo instead of requiring PYTHONPATH (overwriting
+# PYTHONPATH drops the TPU plugin's site dir from sys.path and breaks
+# backend discovery)
+sys.path.insert(0, str(Path(__file__).parent.parent))
 
 # The corpus must be extracted with the SAME front-ends the flagship
 # run trains against (runs/promonet/synthetic.py pins

@@ -13,7 +13,11 @@
 #   auto-resume + the persistent compile cache make restarts cheap.
 #   Exhausting the retry budget propagates the last failure code.
 cd "$(dirname "$0")/.." || exit 1
-export PYTHONPATH="$PWD"
+# APPEND to PYTHONPATH: overwriting it drops the TPU plugin's site dir
+# (the axon backend lives on the inherited PYTHONPATH, e.g.
+# ~/.axon_site) and every backend init fails with "Backend 'axon' is
+# not in the list of known backends"
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 if ! ls runs/promonet/generator-0* >/dev/null 2>&1; then
     latest=$(ls -d runs/promonet/release/generator-* 2>/dev/null | sort | tail -1)
@@ -27,7 +31,7 @@ if ! ls runs/promonet/generator-0* >/dev/null 2>&1; then
 fi
 
 rc=1
-for i in $(seq 1 60); do
+for i in $(seq 1 1000); do
     python -m promonet_tpu.train --config runs/promonet/synthetic.py
     rc=$?
     [ $rc -eq 0 ] && break

@@ -19,10 +19,29 @@ jax.config.update('jax_platforms', 'cpu')
 # Persistent compilation cache: the slow tier is compile-dominated
 # (full-architecture models on the 8-device host mesh); caching XLA
 # executables across runs makes `make test-full` re-runnable in minutes
-# instead of hours. The cache key includes jaxlib version and flags, so
-# stale hits are not a concern.
+# instead of hours. The cache key includes jaxlib version and flags —
+# but NOT the host CPU's feature set, and XLA:CPU AOT executables are
+# machine-feature specific: entries compiled on a previous host with a
+# wider ISA (amx/avx10) load here with SIGILL warnings. Scope the cache
+# per CPU-feature fingerprint so a moved disk starts a fresh cache.
+import hashlib
+
+
+def _machine_fingerprint():
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith('flags'):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return platform.machine()
+
+
 _cache_dir = os.path.join(
-    os.path.dirname(__file__), '..', '.cache', 'jax_test_cache')
+    os.path.dirname(__file__), '..', '.cache',
+    f'jax_test_cache-{_machine_fingerprint()}')
 jax.config.update('jax_compilation_cache_dir', os.path.abspath(_cache_dir))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
