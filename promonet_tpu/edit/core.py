@@ -17,6 +17,7 @@ import numpy as np
 
 import promonet_tpu
 from ..ops import grid as grid_ops
+from ..ops import padded as padded_ops
 from ..preprocess.ppg import PHONEME_TO_INDEX_MAPPING, PHONEMES, SILENCE, VOICED
 
 
@@ -42,6 +43,32 @@ def _edit_no_grid(loudness, pitch, shift_ratio, scale_db, clip_pitch):
     if clip_pitch:
         pitch = jnp.clip(pitch, promonet_tpu.FMIN, promonet_tpu.FMAX)
     return loudness + scale_db, pitch
+
+
+@functools.partial(
+    jax.jit, static_argnames=('bucket_out', 'method', 'clip_pitch'))
+def _edit_padded(
+    loudness, pitch, periodicity, ppg, step, shift_ratio, scale_db,
+    bucket_out, method, clip_pitch
+):
+    """Stretch + shift + scale over BUCKET-shaped inputs, one dispatch.
+
+    The grid is `arange(bucket_out) * step` with a traced step, so the
+    compiled program is keyed on (input bucket, output bucket) only —
+    every true length reuses it. Positions past the true final frame
+    sample the (finite) padded tail; those output frames land in the
+    padded tail of the result and are never materialized. Mirrors the
+    fused path's on-device edit (synthesize/core.py _fused_edit_jit).
+    """
+    grid = jnp.arange(bucket_out, dtype=jnp.float32) * step
+    pitch = 2 ** grid_ops.sample(jnp.log2(pitch), grid)
+    periodicity = grid_ops.sample(periodicity, grid)
+    loudness = grid_ops.sample(loudness, grid) + scale_db
+    ppg = grid_ops.sample(ppg, grid, method)
+    pitch = pitch * shift_ratio
+    if clip_pitch:
+        pitch = jnp.clip(pitch, promonet_tpu.FMIN, promonet_tpu.FMAX)
+    return loudness, pitch, periodicity, ppg
 
 
 def from_features(
@@ -74,6 +101,21 @@ def from_features(
         edited_loudness, edited_pitch, edited_periodicity, edited_ppg
         (+ grid if return_grid)
     """
+    # Bucket-resident fast path (preprocess outputs): one dispatch, no
+    # trim/re-pad churn, programs keyed on buckets — not true lengths.
+    # The selective (PPG-aware) stretch needs the true-length PPG on the
+    # host to build its grid, so it takes the exact-length path below.
+    unwrapped = padded_ops.unwrap(loudness, pitch, periodicity, ppg)
+    if unwrapped is not None and (
+        time_stretch_ratio is None or (stretch_unvoiced and stretch_silence)
+    ):
+        return _from_padded_features(
+            *unwrapped,
+            pitch_shift_cents,
+            time_stretch_ratio,
+            loudness_scale_db,
+            return_grid)
+
     loudness = jnp.asarray(loudness)
     pitch = jnp.asarray(pitch)
     periodicity = jnp.asarray(periodicity)
@@ -110,6 +152,53 @@ def from_features(
     if return_grid:
         return loudness, pitch, periodicity, ppg, grid
     return loudness, pitch, periodicity, ppg
+
+
+def _from_padded_features(
+    arrays,
+    frames,
+    pitch_shift_cents,
+    time_stretch_ratio,
+    loudness_scale_db,
+    return_grid
+):
+    """Edit bucket-resident features; outputs stay bucket-resident."""
+    from ..data.collate import bucket_frames
+    from ..ops.padded import PaddedFeature
+
+    loudness, pitch, periodicity, ppg = arrays
+    shift_ratio = jnp.asarray(
+        promonet_tpu.convert.cents_to_ratio(pitch_shift_cents)
+        if pitch_shift_cents is not None else 1., jnp.float32)
+    scale_db = jnp.asarray(
+        loudness_scale_db if loudness_scale_db is not None else 0.,
+        jnp.float32)
+    clip_pitch = pitch_shift_cents is not None
+    grid = None
+
+    if time_stretch_ratio is not None:
+        out_frames = int(round(frames / time_stretch_ratio))
+        bucket_out = bucket_frames(out_frames)
+        step = (frames - 1) / (out_frames - 1) if out_frames > 1 else 0.
+        loudness, pitch, periodicity, ppg = _edit_padded(
+            loudness, pitch, periodicity, ppg,
+            jnp.asarray(step, jnp.float32), shift_ratio, scale_db,
+            bucket_out, promonet_tpu.PPG_INTERP_METHOD, clip_pitch)
+        if return_grid:
+            # Exact-length grid only on request (WORLD baseline / pack)
+            grid = jnp.linspace(
+                0., frames - 1, out_frames, dtype=jnp.float32)
+    else:
+        out_frames = frames
+        if pitch_shift_cents is not None or loudness_scale_db is not None:
+            loudness, pitch = _edit_no_grid(
+                loudness, pitch, shift_ratio, scale_db, clip_pitch)
+
+    result = tuple(
+        value if isinstance(value, PaddedFeature)
+        else PaddedFeature(value, out_frames)
+        for value in (loudness, pitch, periodicity, ppg))
+    return (*result, grid) if return_grid else result
 
 
 def _selective_grid(ppg, ratio, stretch_unvoiced, stretch_silence):

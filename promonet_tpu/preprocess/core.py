@@ -100,7 +100,12 @@ def _fused_extract(audio, features, loudness_bands):
         loudness_bands,
         decoder,
         interp_at)
-    return [out[..., :frames] for out in outputs]
+    # Keep the bucket-shaped device arrays alive (PaddedFeature): edit
+    # and synthesize consume them with zero trim/re-pad dispatches, and
+    # their programs stay keyed on bucket sizes alone. Anything else
+    # sees the trimmed array via np.asarray / jnp.asarray / indexing.
+    from ..ops.padded import PaddedFeature
+    return [PaddedFeature(out, frames) for out in outputs]
 
 
 @functools.partial(

@@ -45,6 +45,18 @@ def from_features(
     Returns
         audio: (1, T * HOPSIZE)
     """
+    # Bucket-resident fast path (preprocess/edit outputs): single jitted
+    # dispatch with no re-padding; the program is keyed on the bucket
+    from ..ops.padded import unwrap
+    unwrapped = unwrap(loudness, pitch, periodicity, ppg)
+    if unwrapped is not None:
+        return generate_padded(
+            *unwrapped,
+            speaker,
+            spectral_balance_ratio,
+            loudness_ratio,
+            checkpoint)
+
     return generate(
         jnp.asarray(loudness),
         jnp.asarray(pitch).reshape(-1),
@@ -466,6 +478,51 @@ def _cached_model(checkpoint):
 
             _cached_model.cache[key] = (model, params, apply)
     return _cached_model.cache[key]
+
+
+@functools.partial(jax.jit, static_argnames=('model_key',))
+def _apply_padded_jit(
+    params, loudness, pitch, periodicity, ppg, speaker,
+    spectral_balance_ratio, loudness_ratio, model_key
+):
+    """Generator forward over BUCKET-shaped features: batching reshapes
+    and NaN scrubbing fuse into the one dispatch (the exact-length path
+    pays an eager device op per feature for the same work)."""
+    model = _cached_model_by_key(model_key)
+    pitch = jnp.nan_to_num(pitch.reshape(1, -1), nan=100.)
+    periodicity = periodicity.reshape(1, -1)
+    loudness = loudness[None] if loudness.ndim == 2 else loudness
+    ppg = ppg[None] if ppg.ndim == 2 else ppg
+    return model.apply(
+        params, loudness, pitch, periodicity, ppg, speaker,
+        spectral_balance_ratio, loudness_ratio)
+
+
+def generate_padded(
+    arrays,
+    frames,
+    speaker=0,
+    spectral_balance_ratio=1.,
+    loudness_ratio=1.,
+    checkpoint=None
+):
+    """Generate speech from bucket-resident features (no re-padding)"""
+    _, params, _ = _cached_model(checkpoint)
+    with timer.context('generate'):
+        loudness, pitch, periodicity, ppg = arrays
+        speaker_arr = np.asarray(speaker)[None]
+        audio = _apply_padded_jit(
+            params,
+            loudness,
+            pitch,
+            periodicity,
+            ppg,
+            speaker_arr.astype(
+                np.int32 if not promonet_tpu.ZERO_SHOT else np.float32),
+            np.asarray([spectral_balance_ratio], np.float32),
+            np.asarray([loudness_ratio], np.float32),
+            _model_key(checkpoint))
+        return np.asarray(audio)[0, :, :frames * promonet_tpu.HOPSIZE]
 
 
 def generate(
