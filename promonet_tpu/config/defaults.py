@@ -419,8 +419,15 @@ PALLAS_RESBLOCK = None
 MESH_SHAPE = None  # e.g. {'data': 8}
 
 # Pad-to-bucket granularity (frames) for variable-length inference to
-# bound XLA recompilation
-INFERENCE_FRAME_BUCKETS = [64, 128, 256, 512, 1024, 2048, 4096]
+# bound XLA recompilation. Every rung is a multiple of 128 (the TPU
+# lane width, so conv/matmul time tiles stay dense) and the ladder is
+# geometric with ratio <= 4/3 above 512: a power-of-two-only ladder
+# wasted up to ~2x generator compute on lengths just past a rung
+# (e.g. the 10 s editing workload: 862 frames -> 1024 instead of 896,
+# and its 1.414x-stretched output 610 -> 1024 instead of 640).
+INFERENCE_FRAME_BUCKETS = [
+    64, 128, 256, 384, 512, 640, 768, 896, 1024,
+    1280, 1536, 1792, 2048, 2560, 3072, 3584, 4096]
 
 # Optimizer steps fused into one dispatch when training from a
 # device-resident corpus (lax.scan inside the compiled step; see

@@ -489,8 +489,14 @@ def _load_features(cache, stem):
     viterbi = '-viterbi' if promonet_tpu.VITERBI_DECODE_PITCH else ''
     load = promonet_tpu.load
     pitch = load.array(cache / f'{stem}{viterbi}-pitch.npy')
-    return (
+    features = (
         load.array(cache / f'{stem}-loudness.npy'),
         pitch,
         load.array(cache / f'{stem}{viterbi}-periodicity.npy'),
         load.ppg(cache / f'{stem}-ppg.npy', pitch.shape[-1]))
+    # Bucket-resident threading: edit/synthesize programs compile per
+    # BUCKET pair instead of per exact utterance length, so the per-
+    # bucket warmup in _run_conditions actually covers every job (with
+    # exact-length features it only covered jobs of identical length)
+    from ..ops.padded import as_padded
+    return tuple(as_padded(np.asarray(f)) for f in features)
