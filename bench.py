@@ -236,7 +236,10 @@ def run_extra(args, timeout):
     """Run `bench.py <args>` as a subprocess with a hard timeout.
 
     The attempt counter is stripped from the child environment so
-    parent re-exec retries don't consume the child's budget.
+    parent re-exec retries don't consume the child's budget. The
+    child's stderr tail is echoed on failure/timeout so a silent
+    extra (round 4: both extras timed out cold with no trace) leaves
+    a diagnosable record.
     """
     env = {
         k: v for k, v in os.environ.items()
@@ -246,8 +249,22 @@ def run_extra(args, timeout):
             [sys.executable, __file__] + args,
             capture_output=True, text=True, timeout=timeout,
             cwd=str(Path(__file__).parent), env=env)
+        if result.returncode != 0:
+            print(
+                f'[bench extra {args} rc={result.returncode}] '
+                + result.stderr[-2000:], file=sys.stderr, flush=True)
         return result.stdout
-    except Exception:
+    except subprocess.TimeoutExpired as error:
+        stderr = error.stderr or b''
+        if isinstance(stderr, bytes):
+            stderr = stderr.decode(errors='replace')
+        print(
+            f'[bench extra {args} timed out after {timeout}s] '
+            + stderr[-2000:], file=sys.stderr, flush=True)
+        return ''
+    except Exception as error:
+        print(f'[bench extra {args} failed: {error!r}]',
+              file=sys.stderr, flush=True)
         return ''
 
 
@@ -437,9 +454,22 @@ def main():
     # discard the already-printed headline's context for no benefit).
     _watchdog_disarm()
     extras = {}
+    if os.environ.get('PROMONET_BENCH_MFU', '1') != '0':
+        log_phase('extra: MFU (subprocess)')
+        bench_frames = (
+            int(seconds * promonet_tpu.SAMPLE_RATE) // promonet_tpu.HOPSIZE)
+        for line in run_extra(
+            ['--mfu', str(bench_frames)], timeout=1200
+        ).splitlines():
+            if line.startswith('MFU_JSON '):
+                extras.update(json.loads(line[len('MFU_JSON '):]))
+        # Print after EACH extra: a driver timeout mid-extras keeps
+        # everything completed so far (each line supersets the last)
+        print(json.dumps({**headline, **extras}), flush=True)
+
     if os.environ.get('PROMONET_BENCH_TRAIN', '1') != '0':
         log_phase('extra: train step (subprocess)')
-        for line in run_extra(['--train-step'], timeout=600).splitlines():
+        for line in run_extra(['--train-step'], timeout=1200).splitlines():
             if line.startswith('TRAIN_STEP_MS'):
                 extras['train_step_ms'] = float(line.split()[1])
             elif line.startswith('TRAIN_STEP_MFU'):
@@ -447,18 +477,8 @@ def main():
                 extras['train_step_mfu'] = (
                     None if value == 'None' else float(value))
 
-    if os.environ.get('PROMONET_BENCH_MFU', '1') != '0':
-        log_phase('extra: MFU (subprocess)')
-        bench_frames = (
-            int(seconds * promonet_tpu.SAMPLE_RATE) // promonet_tpu.HOPSIZE)
-        for line in run_extra(
-            ['--mfu', str(bench_frames)], timeout=600
-        ).splitlines():
-            if line.startswith('MFU_JSON '):
-                extras.update(json.loads(line[len('MFU_JSON '):]))
-
-    # Enriched final line (superset of the headline schema)
-    print(json.dumps({**headline, **extras}), flush=True)
+        # Enriched final line (superset of the headline schema)
+        print(json.dumps({**headline, **extras}), flush=True)
 
 
 if __name__ == '__main__':
