@@ -365,9 +365,20 @@ def main():
     seconds = 10.
     audio = make_audio(seconds, promonet_tpu.SAMPLE_RATE)
 
-    # Warmup (compiles exactly the programs the timed runs use)
-    log_phase('warmup: api pipeline (preprocess/edit/synthesize compiles)')
-    out, edited = run_pipeline(promonet_tpu, audio)
+    # Warmup (compiles exactly the programs the timed runs use).
+    # Staged so each compile gets its own watchdog deadline — a single
+    # phase covering all three compiles can exceed the per-phase
+    # deadline cold and trigger a spurious re-exec.
+    log_phase('warmup: preprocess compile')
+    features = promonet_tpu.preprocess.from_audio(
+        audio,
+        features=('loudness', 'pitch', 'periodicity', 'ppg'),
+        loudness_bands=None)
+    log_phase('warmup: edit compile')
+    edited = promonet_tpu.edit.from_features(*features, **EDIT_KWARGS)
+    log_phase('warmup: synthesize compile')
+    out = promonet_tpu.synthesize.from_features(*edited, speaker=0)
+    out = np.asarray(out)
 
     # Timed end-to-end api-path runs
     log_phase('timing: api path')

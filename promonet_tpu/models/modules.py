@@ -30,6 +30,16 @@ def leaky_relu(x, slope):
     return jnp.where(x >= 0, x, slope * x)
 
 
+def _conv_lowering():
+    """Active stride-1 conv lowering ('shifted' or 'xla'), trace-time.
+
+    Read from the config module so experiment overlays can pin it;
+    models.generator swaps it to 'xla' for training-shape programs.
+    """
+    import promonet_tpu
+    return getattr(promonet_tpu, 'CONV_LOWERING', 'shifted')
+
+
 def conv1d_shifted_dots(x, kernel, dilation, padding, dtype):
     """Stride-1 1-D convolution as a sum of k time-shifted matmuls.
 
@@ -50,6 +60,23 @@ def conv1d_shifted_dots(x, kernel, dilation, padding, dtype):
     out_len = x.shape[1] + 2 * padding - (k - 1) * dilation
     x = x.astype(dtype)
     kernel = kernel.astype(dtype)
+    if _conv_lowering() == 'xla':
+        # Native conv lowering: wins at TRAINING shapes (batch 64), where
+        # the shifted-dots unrolling materializes k shifted copies of the
+        # activation (measured round 4: generator fwd touches 142 GB and
+        # runs at 4.9% MFU at batch 64; see scripts/train_triage.py).
+        # Inference (small batch) keeps the shifted-dots default.
+        # No preferred_element_type: the TPU conv accumulates bf16
+        # operands in fp32 internally already, and an fp32-typed output
+        # gives the transpose rule an fp32 cotangent against the bf16
+        # kernel (conv_general_dilated requires matching dtypes)
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(padding, padding)],
+            rhs_dilation=(dilation,),
+            dimension_numbers=('NHC', 'HIO', 'NHC'))
     if padding:
         x = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
     acc = None
