@@ -141,7 +141,7 @@ def peak_bf16_flops():
         197e12)
 
 
-def mfu_benchmark(frames, batch_size=1, pallas=None):
+def mfu_benchmark(frames, batch_size=1, pallas=None, flops=None):
     """Generator-forward MFU: XLA-counted flops / wall / chip peak
 
     Flops come from the compiled executable's own cost analysis (the
@@ -149,7 +149,10 @@ def mfu_benchmark(frames, batch_size=1, pallas=None):
     architecture changes (VERDICT round-1 weak #2). batch_size=1 is the
     latency workload (the north-star RTF); larger batches measure the
     serving-throughput headroom. `pallas` overrides the fused-resblock
-    toggle to isolate the Pallas kernel's contribution.
+    toggle to isolate the Pallas kernel's contribution. Pass `flops`
+    (per forward at this batch size) to skip the cost-analysis compile —
+    the persistent compile cache does not function on the tunneled
+    attachment, so every avoided compile is ~30-60 s of bench wall.
     """
     import jax
     import promonet_tpu
@@ -162,17 +165,19 @@ def mfu_benchmark(frames, batch_size=1, pallas=None):
     args = generator_args(batch)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), *args)
 
-    # FLOP count comes from the UNFUSED lowering's XLA cost analysis:
-    # the fused Pallas residual blocks are semantically identical
-    # (parity-tested) but their flops are invisible to cost_analysis
-    # (custom calls count as zero), which would deflate MFU
-    unfused = model.clone(pallas=False) if model.pallas else model
-    compiled = jax.jit(
-        lambda *a: unfused.apply(params, *a)).lower(*args).compile()
-    analysis = compiled.cost_analysis()
-    if isinstance(analysis, (list, tuple)):
-        analysis = analysis[0]
-    flops = float(analysis.get('flops', 0.))
+    if flops is None:
+        # FLOP count comes from the UNFUSED lowering's XLA cost
+        # analysis: the fused Pallas residual blocks are semantically
+        # identical (parity-tested) but their flops are invisible to
+        # cost_analysis (custom calls count as zero), which would
+        # deflate MFU
+        unfused = model.clone(pallas=False) if model.pallas else model
+        compiled = jax.jit(
+            lambda *a: unfused.apply(params, *a)).lower(*args).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops = float(analysis.get('flops', 0.))
 
     # Amortize dispatch latency and force real execution: REPEAT
     # forwards inside one program with a sequential data dependence
@@ -213,19 +218,34 @@ def mfu_benchmark(frames, batch_size=1, pallas=None):
 
 
 def mfu_subprocess_main(frames):
-    """--mfu mode: batch-1/4 MFU + pallas-on/off isolation, one JSON line"""
+    """--mfu mode: batch-1/4 MFU + pallas-on/off isolation, one JSON line
+
+    Compile budget matters (measured: this extra took 322 s of the
+    bench's wall in round 4): the batch-1 run doubles as one side of
+    the pallas on/off comparison (the default model already has the
+    toggle applied), batch-4 flops scale linearly from batch-1 flops,
+    and only the OPPOSITE pallas setting compiles a fresh program.
+    """
+    import promonet_tpu
+
     result = mfu_benchmark(frames)
+    flops = result['generator_flops']
     try:
-        result['mfu_batch4'] = mfu_benchmark(frames, 4)['mfu']
+        result['mfu_batch4'] = mfu_benchmark(
+            frames, 4, flops=4 * flops)['mfu']
     except Exception:
         result['mfu_batch4'] = None
     # Pallas-on/off comparison at the bench workload (VERDICT r3 #8:
-    # the bench never isolated whether the fused resblock wins)
+    # the bench never isolated whether the fused resblock wins). The
+    # default model's wall IS one side; only the other side runs.
     try:
-        result['generator_wall_pallas'] = mfu_benchmark(
-            frames, pallas=True)['generator_wall_seconds']
-        result['generator_wall_unfused'] = mfu_benchmark(
-            frames, pallas=False)['generator_wall_seconds']
+        default_pallas = promonet_tpu.models.Generator.create().pallas
+        other = mfu_benchmark(frames, pallas=not default_pallas, flops=flops)
+        walls = {
+            default_pallas: result['generator_wall_seconds'],
+            not default_pallas: other['generator_wall_seconds']}
+        result['generator_wall_pallas'] = walls[True]
+        result['generator_wall_unfused'] = walls[False]
     except Exception:
         result['generator_wall_pallas'] = None
         result['generator_wall_unfused'] = None
@@ -465,19 +485,9 @@ def main():
     # discard the already-printed headline's context for no benefit).
     _watchdog_disarm()
     extras = {}
-    if os.environ.get('PROMONET_BENCH_MFU', '1') != '0':
-        log_phase('extra: MFU (subprocess)')
-        bench_frames = (
-            int(seconds * promonet_tpu.SAMPLE_RATE) // promonet_tpu.HOPSIZE)
-        for line in run_extra(
-            ['--mfu', str(bench_frames)], timeout=1200
-        ).splitlines():
-            if line.startswith('MFU_JSON '):
-                extras.update(json.loads(line[len('MFU_JSON '):]))
-        # Print after EACH extra: a driver timeout mid-extras keeps
-        # everything completed so far (each line supersets the last)
-        print(json.dumps({**headline, **extras}), flush=True)
-
+    # Train step first: train_step_ms/train_step_mfu have never landed
+    # in a recorded BENCH (the MFU extra ahead of it ate the driver's
+    # timeout in round 4); MFU batch-1 has been on record since r2.
     if os.environ.get('PROMONET_BENCH_TRAIN', '1') != '0':
         log_phase('extra: train step (subprocess)')
         for line in run_extra(['--train-step'], timeout=1200).splitlines():
@@ -487,6 +497,19 @@ def main():
                 value = line.split()[1]
                 extras['train_step_mfu'] = (
                     None if value == 'None' else float(value))
+        # Print after EACH extra: a driver timeout mid-extras keeps
+        # everything completed so far (each line supersets the last)
+        print(json.dumps({**headline, **extras}), flush=True)
+
+    if os.environ.get('PROMONET_BENCH_MFU', '1') != '0':
+        log_phase('extra: MFU (subprocess)')
+        bench_frames = (
+            int(seconds * promonet_tpu.SAMPLE_RATE) // promonet_tpu.HOPSIZE)
+        for line in run_extra(
+            ['--mfu', str(bench_frames)], timeout=1200
+        ).splitlines():
+            if line.startswith('MFU_JSON '):
+                extras.update(json.loads(line[len('MFU_JSON '):]))
 
         # Enriched final line (superset of the headline schema)
         print(json.dumps({**headline, **extras}), flush=True)
