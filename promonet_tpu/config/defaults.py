@@ -413,6 +413,16 @@ REMAT = True
 # on TPU backends; training always uses the unfused/remat path).
 PALLAS_RESBLOCK = None
 
+# Stride-1 conv lowering for programs traced inside the TRAINING step
+# ('xla' or 'shifted'; None = inherit CONV_LOWERING/'shifted'). The
+# shifted-matmul lowering (models/modules.py conv1d_shifted_dots) wins
+# at inference batch sizes, but at the training batch its unrolled
+# shifted slices materialize k activation copies: measured on the
+# flagship shapes (scripts/lowering_ab.py, batch 64), the full GAN step
+# is 663.7 ms / 386.9 GB HBM traffic with 'shifted' vs 478.0 ms /
+# 156.4 GB with the native conv lowering — so training pins 'xla'.
+TRAIN_CONV_LOWERING = 'xla'
+
 # Device mesh axis sizes. None means "use all available devices" on the
 # data axis. Training shards the batch over the 'data' axis; gradient
 # all-reduce rides ICI via XLA sharding propagation.

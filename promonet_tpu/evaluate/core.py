@@ -324,14 +324,22 @@ def _run_conditions(
             loudness_scale_db=scale,
             return_grid=True)
 
+    def edit_program_key(job):
+        # Mirror the compiled-program key of edit._from_padded_features:
+        # stretch programs are keyed on (input bucket, OUTPUT bucket,
+        # clip_pitch) — the step itself is traced — and no-stretch
+        # programs on (input bucket, clip_pitch). Keying warmup on the
+        # raw stretch ratio under-covers: one input bucket + ratio can
+        # span two output buckets (e.g. 453 vs 543 frames at 1.414).
+        shift, stretch = job['spec'][0], job['spec'][1]
+        frames = job['features'][1].shape[-1]
+        bucket_out = (
+            bucket_frames(int(round(frames / stretch)))
+            if stretch is not None else None)
+        return (bucket_frames(frames), bucket_out, shift is not None)
+
     with timer.phase('warmup'):
-        run_all(
-            edit_job,
-            representatives(
-                jobs,
-                lambda job: (
-                    bucket_frames(job['features'][1].shape[-1]),
-                    job['spec'][1])))
+        run_all(edit_job, representatives(jobs, edit_program_key))
     with timer.phase('edit'):
         run_all(edit_job, jobs)
 

@@ -12,6 +12,9 @@ Layouts are TPU-native: activations are (batch, time, channels) /
 (batch, h, w, channels) so XLA tiles convolutions onto the MXU without
 transposes.
 """
+import contextlib
+import contextvars
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,12 +33,41 @@ def leaky_relu(x, slope):
     return jnp.where(x >= 0, x, slope * x)
 
 
+_CONV_LOWERING = contextvars.ContextVar('conv_lowering', default=None)
+
+
+@contextlib.contextmanager
+def conv_lowering(mode):
+    """Scope the stride-1 conv lowering for code TRACED inside the block.
+
+    The flag is read at trace time, so it must be set around the jitted
+    function's first (tracing) call — the train step does this in its
+    traced body (promonet_tpu/train/core.py make_train_step), which runs
+    as Python exactly once per compilation. Toggling the config global
+    after a program is cached serves the stale lowering; this scoped
+    override sidesteps that hazard because every trace re-reads it.
+    """
+    if mode is None:
+        yield
+        return
+    token = _CONV_LOWERING.set(mode)
+    try:
+        yield
+    finally:
+        _CONV_LOWERING.reset(token)
+
+
 def _conv_lowering():
     """Active stride-1 conv lowering ('shifted' or 'xla'), trace-time.
 
-    Read from the config module so experiment overlays can pin it;
-    models.generator swaps it to 'xla' for training-shape programs.
+    Resolution order: the `conv_lowering` scoped override (the training
+    step pins 'xla' — batch-64 programs win there, see
+    conv1d_shifted_dots), then the CONV_LOWERING config attribute
+    (experiment overlays / A-B scripts), then 'shifted' (inference).
     """
+    override = _CONV_LOWERING.get()
+    if override is not None:
+        return override
     import promonet_tpu
     return getattr(promonet_tpu, 'CONV_LOWERING', 'shifted')
 

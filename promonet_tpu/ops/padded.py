@@ -85,8 +85,16 @@ class PaddedFeature:
     def __getitem__(self, index):
         return self.trim()[index]
 
-    # Minimal arithmetic (delegates to the trimmed array) so feature
-    # consumers that scale/compare without an explicit asarray still work
+    # Arithmetic/comparison operators delegate to the trimmed array so
+    # feature consumers that scale/compare without an explicit asarray
+    # still work. numpy ufuncs applied to a PaddedFeature operand (e.g.
+    # np.log2(feature)) route here too and see trimmed data.
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        inputs = tuple(
+            x.trim() if isinstance(x, PaddedFeature) else x
+            for x in inputs)
+        return getattr(ufunc, method)(*inputs, **kwargs)
+
     def __add__(self, other):
         return self.trim() + other
 
@@ -105,6 +113,24 @@ class PaddedFeature:
 
     def __truediv__(self, other):
         return self.trim() / other
+
+    def __rtruediv__(self, other):
+        return other / self.trim()
+
+    def __neg__(self):
+        return -self.trim()
+
+    def __lt__(self, other):
+        return self.trim() < other
+
+    def __le__(self, other):
+        return self.trim() <= other
+
+    def __gt__(self, other):
+        return self.trim() > other
+
+    def __ge__(self, other):
+        return self.trim() >= other
 
 
 def as_padded(value, bucket=None):

@@ -355,6 +355,7 @@ def save_checkpoint(directory, state, step, epoch):
         state['discriminator']['opt_state'],
         step=step,
         epoch=epoch)
+    promonet_tpu.utils.checkpoint.prune(directory)
 
 
 def load_checkpoint(directory, state, generator_path):
@@ -469,6 +470,18 @@ def make_train_step(
         if model == 'fargan' else None)
 
     def step_body(state, batch, rng):
+        # Trace-time: pin the training conv lowering for everything the
+        # step traces (generator fwd/VJP + discriminators). The shifted
+        # -matmul lowering wins at inference batch sizes but loses at
+        # the training batch (see config TRAIN_CONV_LOWERING); scoping
+        # it here re-reads the flag on every (re)trace, avoiding the
+        # stale-jit-cache hazard of a module-level toggle.
+        from ..models.modules import conv_lowering
+        with conv_lowering(getattr(
+                promonet_tpu, 'TRAIN_CONV_LOWERING', None)):
+            return _step_body(state, batch, rng)
+
+    def _step_body(state, batch, rng):
         audio = batch['audio']
         previous_samples = previous_samples_of(batch)
         gen_args = generator_args(batch)

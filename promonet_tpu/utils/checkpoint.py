@@ -75,6 +75,33 @@ def readable(path):
         return False
 
 
+def prune(directory, keep_interval=20000, keep_latest=3,
+          prefixes=('generator', 'discriminator')):
+    """Delete old checkpoints to bound run-directory growth.
+
+    A dense CHECKPOINT_INTERVAL (cheap orbax writes, restart-loss
+    insurance) would otherwise accumulate ~600 MB per step multiple.
+    Keeps the `keep_latest` newest checkpoints of each prefix plus
+    every `keep_interval` multiple (the reference's own checkpoint
+    cadence, promonet/config/defaults.py:287).
+    """
+    import shutil
+
+    directory = Path(directory)
+    if not directory.exists():
+        return
+    for prefix in prefixes:
+        pattern = re.compile(f'^{prefix}-(\\d+)$')
+        entries = sorted(
+            (int(m.group(1)), e)
+            for e in directory.iterdir()
+            if (m := pattern.match(e.name)))
+        for step, entry in entries[:-keep_latest or None]:
+            if keep_interval and step % keep_interval == 0:
+                continue
+            shutil.rmtree(entry, ignore_errors=True)
+
+
 def latest_path(directory, prefix='generator-*'):
     """Resolve the newest READABLE checkpoint for auto-resume
 

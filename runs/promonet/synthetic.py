@@ -13,8 +13,12 @@ TRAINING_DATASET = 'synthetic'
 # In-train evaluation cadence (reference: 2500 / 16 / 10 at
 # promonet/config/defaults.py:292-307): thinned for the long run —
 # each eval synchronizes the dispatch pipeline and host-loads
-# validation utterances over the (narrow) attachment
-EVALUATION_INTERVAL = 50000
+# validation utterances over the (narrow) attachment. Round 5: 10k
+# (was 50k) so every 10k steps logs a validation reading against the
+# corrected corpus; the corrected-corpus baseline is the post-restart
+# step-100000 metrics.jsonl entry (periodicity 0.128 / pitch 51.1
+# cents / PPG JSD 0.131).
+EVALUATION_INTERVAL = 10000
 DEFAULT_EVALUATION_STEPS = 4
 PLOT_EXAMPLES = 2
 
@@ -23,8 +27,10 @@ PLOT_EXAMPLES = 2
 # single programs have crashed the attachment's TPU worker)
 STEPS_PER_DISPATCH = 50
 
-# Checkpoint cadence (reference: 20000)
-CHECKPOINT_INTERVAL = 10000
+# Checkpoint cadence (reference: 20000). Round 5: 2500 (was 10000) —
+# orbax writes are cheap and the wedge watchdog's kill path previously
+# re-trained up to 8k steps after a mid-interval restart.
+CHECKPOINT_INTERVAL = 2500
 
 # Step budget. The reference trains 800k steps over days on one GPU
 # (promonet/config/defaults.py:381); the HONESTLY-measured GAN step on
