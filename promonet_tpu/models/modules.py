@@ -57,19 +57,27 @@ def conv_lowering(mode):
         _CONV_LOWERING.reset(token)
 
 
-def _conv_lowering():
+def _conv_lowering(batch=1):
     """Active stride-1 conv lowering ('shifted' or 'xla'), trace-time.
 
     Resolution order: the `conv_lowering` scoped override (the training
     step pins 'xla' — batch-64 programs win there, see
     conv1d_shifted_dots), then the CONV_LOWERING config attribute
-    (experiment overlays / A-B scripts), then 'shifted' (inference).
+    (experiment overlays / A-B scripts), then a batch-size heuristic:
+    the shifted-matmul lowering wins at small batch but its k shifted
+    activation copies scale HBM traffic superlinearly with batch —
+    measured at the 10 s inference workload (scripts/infer_lowering_ab
+    .py, v5e): batch 1 is 11.8 ms shifted vs 22.3 ms xla; batch 4 is
+    101.2 ms shifted vs 84.6 ms xla. Batched serving uses 'xla'.
     """
     override = _CONV_LOWERING.get()
     if override is not None:
         return override
     import promonet_tpu
-    return getattr(promonet_tpu, 'CONV_LOWERING', 'shifted')
+    configured = getattr(promonet_tpu, 'CONV_LOWERING', None)
+    if configured is not None:
+        return configured
+    return 'xla' if batch >= 4 else 'shifted'
 
 
 def conv1d_shifted_dots(x, kernel, dilation, padding, dtype):
@@ -92,7 +100,7 @@ def conv1d_shifted_dots(x, kernel, dilation, padding, dtype):
     out_len = x.shape[1] + 2 * padding - (k - 1) * dilation
     x = x.astype(dtype)
     kernel = kernel.astype(dtype)
-    if _conv_lowering() == 'xla':
+    if _conv_lowering(batch=x.shape[0]) == 'xla':
         # Native conv lowering: wins at TRAINING shapes (batch 64), where
         # the shifted-dots unrolling materializes k shifted copies of the
         # activation (measured round 4: generator fwd touches 142 GB and

@@ -43,8 +43,15 @@ def from_audio(
     if max_harmonics is None:
         max_harmonics = promonet_tpu.MAX_HARMONICS
 
-    # Resample to the native rate once, up front
-    audio = np.asarray(audio)
+    # Resample to the native rate once, up front. DEVICE-resident audio
+    # (e.g. freshly synthesized — the evaluation re-preprocess path)
+    # stays on device when no resampling or host-only feature is
+    # needed: feature re-extraction then never round-trips the tunnel.
+    host_needed = (
+        sample_rate != promonet_tpu.SAMPLE_RATE
+        or any(f in features for f in ('text', 'harmonics', 'speaker')))
+    if host_needed or not isinstance(audio, jax.Array):
+        audio = np.asarray(audio)
     if sample_rate != promonet_tpu.SAMPLE_RATE:
         audio = promonet_tpu.utils.audio.resample(
             audio, sample_rate, promonet_tpu.SAMPLE_RATE)
@@ -82,8 +89,17 @@ def _fused_extract(audio, features, loudness_bands):
     frames = audio.shape[-1] // promonet_tpu.HOPSIZE
     bucket = bucket_frames(frames)
     samples = bucket * promonet_tpu.HOPSIZE
-    padded = np.zeros((audio.shape[0], samples), np.float32)
-    padded[:, :audio.shape[-1]] = audio[:, :samples]
+    if isinstance(audio, jax.Array):
+        # Device-resident input: pad with an async device op
+        if audio.shape[-1] >= samples:
+            padded = audio[:, :samples].astype(jnp.float32)
+        else:
+            padded = jnp.pad(
+                audio.astype(jnp.float32),
+                ((0, 0), (0, samples - audio.shape[-1])))
+    else:
+        padded = np.zeros((audio.shape[0], samples), np.float32)
+        padded[:, :audio.shape[-1]] = audio[:, :samples]
 
     if promonet_tpu.VITERBI_DECODE_PITCH:
         decoder, interp_at = 'viterbi', None

@@ -14,6 +14,11 @@ pytestmark = _pytest.mark.slow
 def small(monkeypatch, tmp_path):
     monkeypatch.setattr(promonet_tpu, 'HIFIGAN_UPSAMPLE_INITIAL_SIZE', 64)
     monkeypatch.setattr(promonet_tpu, 'MULTI_PERIOD_DISCRIMINATOR', False)
+    # MSD-only adversary (compile cost; adaptation mechanics don't
+    # depend on the discriminator set — see tests/test_train.py)
+    monkeypatch.setattr(
+        promonet_tpu, 'COMPLEX_MULTIBAND_DISCRIMINATOR', False)
+    monkeypatch.setattr(promonet_tpu, 'MULTI_SCALE_DISCRIMINATOR', True)
     monkeypatch.setattr(promonet_tpu, 'CACHE_DIR', tmp_path / 'cache')
     monkeypatch.setattr(promonet_tpu, 'ASSETS_DIR', tmp_path / 'assets')
     monkeypatch.setattr(

@@ -38,11 +38,13 @@ def corpus(tmp_path_factory):
 def test_ppg_training(corpus):
     """A short training run learns real phoneme posteriors"""
     accuracy = promonet_tpu.preprocess.ppg.train(
-        'synthetic', steps=1200, batch_size=16, window=128)
+        'synthetic', steps=700, batch_size=16, window=96)
     # 40-way classification: chance is 0.025. The tiny test corpus
-    # (8 utterances) bounds what a short run reaches; the full corpus
-    # training measures 0.93 (PITCH_REPORT.md / assets checkpoint).
-    assert accuracy > 0.35
+    # (8 utterances) and short budget bound what the run reaches; the
+    # full corpus training measures 0.93 (PITCH_REPORT.md / assets
+    # checkpoint). The budget is sized for the single-core test host
+    # (round-4 ask: `pytest tests/` must finish inside a round).
+    assert accuracy > 0.3
 
     # from_audio now uses the trained checkpoint
     assert not hasattr(promonet_tpu.preprocess.ppg._model, 'cache')
@@ -77,16 +79,16 @@ def test_ppg_training(corpus):
 def test_pitch_cnn_training(corpus, monkeypatch):
     """A short CNN training run learns real pitch posteriors"""
     median_cents, voicing_accuracy = promonet_tpu.preprocess.pitch.train(
-        'synthetic', steps=400, batch_size=32, max_frames=4000,
+        'synthetic', steps=250, batch_size=32, max_frames=3000,
         tone_fraction=0.)
     # 256-bin classification over ~4150 cents: chance error is ~1000c
-    assert median_cents < 120.
+    assert median_cents < 150.
     assert voicing_accuracy > 0.7
 
     # The domain-randomized tone mix trains end-to-end at tiny budgets
     # (quality at the real budget is gated by scripts/pitch_domain_check)
     tone_cents, _ = promonet_tpu.preprocess.pitch.train(
-        'synthetic', steps=200, batch_size=32, max_frames=2000,
+        'synthetic', steps=100, batch_size=32, max_frames=2000,
         tone_fraction=0.4)
     assert np.isfinite(tone_cents)
 

@@ -29,6 +29,12 @@ def _shrink(monkeypatch):
     monkeypatch.setattr(promonet_tpu, 'VOCOS_POINTWISE_CHANNELS', 128)
     monkeypatch.setattr(promonet_tpu, 'VOCOS_LAYERS', 2)
     monkeypatch.setattr(promonet_tpu, 'MULTI_PERIOD_DISCRIMINATOR', False)
+    # MSD-only adversary: these tests cover the GENERATOR families; the
+    # CMB's five banded STFTs dominate the one-step CPU compile and are
+    # covered by test_train_step_data_parallel / test_models
+    monkeypatch.setattr(
+        promonet_tpu, 'COMPLEX_MULTIBAND_DISCRIMINATOR', False)
+    monkeypatch.setattr(promonet_tpu, 'MULTI_SCALE_DISCRIMINATOR', True)
 
 
 def _step(batch_size=2):

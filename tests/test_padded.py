@@ -71,12 +71,17 @@ def test_padded_chain_parity(audio):
 
     # Synthesis: identical program inputs except pad-tail contents, which
     # only perturb the trimmed output inside the conv receptive field of
-    # the boundary; compare the interior
+    # the boundary; compare the interior, with the margin derived from
+    # the generator's ACTUAL receptive field (28 frames at the default
+    # architecture — the full MRF kernel extent, an upper bound on how
+    # far the pad tail reaches)
+    from promonet_tpu.models.hifigan import receptive_field_frames
     out_fast = promonet_tpu.synthesize.from_features(*edited, speaker=0)
     out_exact = promonet_tpu.synthesize.from_features(
         *[np.asarray(f) for f in expected], speaker=0)
     assert out_fast.shape == out_exact.shape
-    margin = 8 * promonet_tpu.HOPSIZE
+    margin = receptive_field_frames() * promonet_tpu.HOPSIZE
+    assert out_fast.shape[-1] > 2 * margin, 'test clip too short for margin'
     np.testing.assert_allclose(
         np.asarray(out_fast)[..., :-margin],
         np.asarray(out_exact)[..., :-margin],

@@ -25,6 +25,21 @@ def small_model(monkeypatch):
     yield
 
 
+@pytest.fixture
+def cheap_discriminator(monkeypatch):
+    """MSD-only discriminator for pipeline-mechanics tests.
+
+    The default CMB (5 bands of 1024-bin STFTs) dominates the CPU
+    compile of the one-step end-to-end tests; checkpoint/resume/data
+    mechanics don't depend on which adversary trains. The full
+    default set stays covered by test_train_step_data_parallel.
+    """
+    monkeypatch.setattr(
+        promonet_tpu, 'COMPLEX_MULTIBAND_DISCRIMINATOR', False)
+    monkeypatch.setattr(promonet_tpu, 'MULTI_SCALE_DISCRIMINATOR', True)
+    yield
+
+
 def test_train_step_data_parallel(small_model):
     """Full GAN train step sharded over all 8 virtual devices"""
     assert len(jax.devices()) == 8
@@ -102,7 +117,8 @@ def test_mel_loss_masked_padding(small_model):
     assert np.isfinite(masked) and masked < 0.05
 
 
-def test_train_resident_end_to_end(small_model, monkeypatch, tmp_path):
+def test_train_resident_end_to_end(
+        small_model, cheap_discriminator, monkeypatch, tmp_path):
     """Device-resident corpus training: pack → upload → on-device crops
 
     Exercises the TPU-native input pipeline (data/resident.py): the
@@ -144,7 +160,8 @@ def test_train_resident_end_to_end(small_model, monkeypatch, tmp_path):
     assert np.isfinite(jax.device_get(batch['audio'])).all()
 
 
-def test_train_end_to_end_synthetic(small_model, monkeypatch, tmp_path):
+def test_train_end_to_end_synthetic(
+        small_model, cheap_discriminator, monkeypatch, tmp_path):
     """Two optimizer steps on a real (synthetic) dataset through train()"""
     monkeypatch.setattr(promonet_tpu, 'CACHE_DIR', tmp_path / 'cache')
     monkeypatch.setattr(promonet_tpu, 'ASSETS_DIR', tmp_path / 'assets')
@@ -171,7 +188,7 @@ def test_train_end_to_end_synthetic(small_model, monkeypatch, tmp_path):
     assert latest is not None and latest.name == 'generator-00000002'
 
 
-def test_resident_multichip_sample_and_step(small_model, monkeypatch):
+def test_resident_multichip_sample_and_step(small_model, cheap_discriminator, monkeypatch):
     """Stem-sharded resident corpus: per-device sampling + full GAN step
     on the 8-device virtual mesh (VERDICT r2 weak #5)."""
     from promonet_tpu.data import resident
@@ -272,7 +289,7 @@ def test_warm_start_params_only_checkpoint(small_model, monkeypatch, tmp_path):
 
 
 def test_auto_resume_survives_crash_mid_checkpoint(
-        small_model, monkeypatch, tmp_path):
+        small_model, cheap_discriminator, monkeypatch, tmp_path):
     """Fault injection: a hard kill mid-checkpoint-write must not wedge
     auto-resume (SURVEY §5.3)
 
