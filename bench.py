@@ -67,13 +67,17 @@ EDIT_KWARGS = dict(
 
 
 def run_pipeline(promonet_tpu, audio):
+    # PCM16 wire output: the serving format (sources and saved wavs are
+    # 16-bit PCM), and half the device→host bytes of the dominant
+    # transfer on a tunneled attachment
     loudness, pitch, periodicity, ppg = promonet_tpu.preprocess.from_audio(
         audio,
         features=('loudness', 'pitch', 'periodicity', 'ppg'),
         loudness_bands=None)
     edited = promonet_tpu.edit.from_features(
         loudness, pitch, periodicity, ppg, **EDIT_KWARGS)
-    out = promonet_tpu.synthesize.from_features(*edited, speaker=0)
+    out = promonet_tpu.synthesize.from_features(
+        *edited, speaker=0, output_dtype='int16')
     return np.asarray(out), edited
 
 
@@ -454,7 +458,8 @@ def main():
     log_phase('warmup: edit compile')
     edited = promonet_tpu.edit.from_features(*features, **EDIT_KWARGS)
     log_phase('warmup: synthesize compile')
-    out = promonet_tpu.synthesize.from_features(*edited, speaker=0)
+    out = promonet_tpu.synthesize.from_features(
+        *edited, speaker=0, output_dtype='int16')
     out = np.asarray(out)
 
     # Timed end-to-end api-path runs
@@ -493,20 +498,24 @@ def main():
     # Synthesis-only (hot loop) at the same edited-features workload —
     # reuses the program the e2e path already compiled
     log_phase('timing: synthesis-only')
-    promonet_tpu.synthesize.from_features(*edited, speaker=0)
+    promonet_tpu.synthesize.from_features(
+        *edited, speaker=0, output_dtype='int16')
     synth_runs = []
     for _ in range(3):
         start = time.perf_counter()
-        promonet_tpu.synthesize.from_features(*edited, speaker=0)
+        promonet_tpu.synthesize.from_features(
+            *edited, speaker=0, output_dtype='int16')
         synth_runs.append(time.perf_counter() - start)
     synth_rtf = seconds / min(synth_runs)
 
-    # Fused single-dispatch path (audio in -> edited audio out)
+    # Fused single-dispatch path (PCM16 audio in -> PCM16 audio out,
+    # the production wire format)
     log_phase('warmup: fused single-dispatch program')
+    audio16 = (audio * 32767.).astype(np.int16)
 
     def fused():
         return promonet_tpu.synthesize.from_edited_audio(
-            audio, speaker=0, **EDIT_KWARGS)
+            audio16, speaker=0, output_dtype='int16', **EDIT_KWARGS)
     fused()
     log_phase('timing: fused path')
     fused_runs = []
@@ -522,6 +531,7 @@ def main():
     rtf = max(api_rtf, fused_rtf)
     headline = {
         'metric': 'e2e_edit_rtf',
+        'wire_format': 'pcm16',
         'value': round(rtf, 2),
         'unit': 'x_realtime',
         'vs_baseline': round(rtf / NORTH_STAR_RTF, 3),

@@ -5,17 +5,47 @@ For TPU, padding targets are bucketed frame counts so XLA compiles a
 bounded set of shapes (SURVEY.md §5.7); training batches are fixed-size
 chunks and need no padding.
 """
+import contextlib
+
 import numpy as np
 
 import promonet_tpu
 
+# Scoped ladder override (see bucket_ladder). A plain module global —
+# not a contextvar — because the consumers fan work over THREAD pools
+# (evaluate/core.py) and worker threads do not inherit the submitting
+# thread's context.
+_LADDER_OVERRIDE = None
+
 
 def bucket_frames(frames):
     """Smallest configured bucket that fits `frames`"""
-    for bucket in promonet_tpu.INFERENCE_FRAME_BUCKETS:
+    ladder = _LADDER_OVERRIDE or promonet_tpu.INFERENCE_FRAME_BUCKETS
+    for bucket in ladder:
         if frames <= bucket:
             return bucket
     return frames
+
+
+@contextlib.contextmanager
+def bucket_ladder(buckets):
+    """Scope a coarse bucket ladder for everything inside the block.
+
+    The dense MXU-aligned default ladder minimizes padded compute per
+    call, but every distinct (bucket) — and for editing, (input bucket,
+    output bucket) pair — compiles its own program. The offline
+    evaluation compiles a whole corpus' worth of first-encounters inside
+    its timed warmup (round 4: 1047 s); scoping a 2-4 rung ladder sized
+    to the corpus maximum collapses the program count while the extra
+    padded frames cost microseconds next to per-dispatch latency.
+    """
+    global _LADDER_OVERRIDE
+    previous = _LADDER_OVERRIDE
+    _LADDER_OVERRIDE = tuple(sorted(buckets))
+    try:
+        yield
+    finally:
+        _LADDER_OVERRIDE = previous
 
 
 def collate(items, pad_to_bucket=True):

@@ -90,23 +90,26 @@ def _datasets(
                 (speaker_id, stems, checkpoint)
                 for speaker_id, stems in stems_by_speaker.items()]
 
-        for speaker_id, stems, speaker_checkpoint in speaker_items:
-            if max_stems is not None:
-                stems = stems[:max_stems]
-            if adapt and speaker_checkpoint is None:
-                # Adapt the base checkpoint to this speaker first
-                speaker_checkpoint = _adapt_speaker(
-                    name, speaker_id, checkpoint)
-            speaker_results = speaker(
-                name,
-                speaker_id,
-                stems,
-                speaker_checkpoint,
-                dataset_metrics,
-                adapt=adapt)
-            results['speakers'][speaker_id] = speaker_results
-            results['num_samples'] += speaker_results['num_samples']
-            results['num_frames'] += speaker_results['num_frames']
+        ladder = _coarse_bucket_ladder(name, speaker_items, max_stems)
+        from ..data.collate import bucket_ladder
+        with bucket_ladder(ladder):
+            for speaker_id, stems, speaker_checkpoint in speaker_items:
+                if max_stems is not None:
+                    stems = stems[:max_stems]
+                if adapt and speaker_checkpoint is None:
+                    # Adapt the base checkpoint to this speaker first
+                    speaker_checkpoint = _adapt_speaker(
+                        name, speaker_id, checkpoint)
+                speaker_results = speaker(
+                    name,
+                    speaker_id,
+                    stems,
+                    speaker_checkpoint,
+                    dataset_metrics,
+                    adapt=adapt)
+                results['speakers'][speaker_id] = speaker_results
+                results['num_samples'] += speaker_results['num_samples']
+                results['num_frames'] += speaker_results['num_frames']
 
         results['objective'] = {
             condition: metrics()
@@ -438,14 +441,36 @@ def _run_conditions(
         with timer.phase('generate'):
             run_all(generate_group, bucket_groups(jobs))
 
+    # Re-preprocess every generated utterance at the TOP bucket: the
+    # fused extractor (with the Pallas Viterbi decode) is the most
+    # expensive compile of the run, so exactly ONE program serves all
+    # jobs — device-resident audio pads with one async device op and
+    # the predicted features are re-wrapped at their true frame counts.
+    from ..ops.padded import PaddedFeature
+    top_bucket = max(
+        (output_bucket(job) for job in jobs), default=0)
+
     def preprocess_job(job):
+        import jax.numpy as jnp
+
         generated = job['generated']
+        true_frames = generated.shape[-1] // promonet_tpu.HOPSIZE
+        samples = top_bucket * promonet_tpu.HOPSIZE
         if isinstance(generated, _LazyAudio):
-            generated = generated.device()
-        job['predicted'] = promonet_tpu.preprocess.from_audio(
-            generated,
+            audio = generated.device()
+            audio = jnp.pad(audio, ((0, 0), (0, samples - audio.shape[-1])))
+        else:
+            audio = np.zeros((1, samples), np.float32)
+            source = np.asarray(generated).reshape(1, -1)[:, :samples]
+            audio[:, :source.shape[-1]] = source
+        predicted = promonet_tpu.preprocess.from_audio(
+            audio,
             features=('loudness', 'pitch', 'periodicity', 'ppg'),
             loudness_bands=None)
+        job['predicted'] = tuple(
+            PaddedFeature(f.data, true_frames) if isinstance(f, PaddedFeature)
+            else np.asarray(f)[..., :true_frames]
+            for f in predicted)
 
     def generated_bucket(job):
         return bucket_frames(
@@ -553,6 +578,38 @@ def _condition_metrics():
         condition: Metrics(
             include_wer=promonet_tpu.preprocess.text.available())
         for condition in conditions}
+
+
+def _coarse_bucket_ladder(dataset, speaker_items, max_stems=None):
+    """2-4 rung bucket ladder covering this evaluation's shapes.
+
+    Rungs: the MXU-aligned bucket of the corpus' longest utterance,
+    plus the buckets its time-stretch images (EVALUATION_RATIOS) land
+    in — every (input, output) length in the run rounds up to one of
+    them. Collapses the per-(bucket pair) program count that dominated
+    the round-4 warmup wall (see data/collate.bucket_ladder).
+    """
+    from ..data.collate import bucket_frames
+
+    viterbi = '-viterbi' if promonet_tpu.VITERBI_DECODE_PITCH else ''
+    cache = promonet_tpu.CACHE_DIR / dataset
+    max_frames = 1
+    for _, stems, _ in speaker_items:
+        if max_stems is not None:
+            stems = stems[:max_stems]
+        for stem in stems:
+            try:
+                header = np.load(
+                    cache / f'{stem}{viterbi}-pitch.npy', mmap_mode='r')
+            except FileNotFoundError:
+                continue
+            max_frames = max(max_frames, header.shape[-1])
+    rungs = {bucket_frames(max_frames)}
+    for ratio in promonet_tpu.EVALUATION_RATIOS:
+        for direction in (ratio, 1. / ratio):
+            rungs.add(
+                bucket_frames(int(np.ceil(max_frames / direction))))
+    return sorted(rungs)
 
 
 def _load_features(cache, stem):

@@ -109,13 +109,16 @@ def _fused_extract(audio, features, loudness_bands):
     ppg_params = (
         promonet_tpu.preprocess.ppg._model()[1]
         if 'ppg' in features else {})
+    pitch_kind, pitch_params = _pitch_front_end(features)
     outputs = _fused_jit(
         jnp.asarray(padded),
         ppg_params,
+        pitch_params,
         features,
         loudness_bands,
         decoder,
-        interp_at)
+        interp_at,
+        pitch_kind)
     # Keep the bucket-shaped device arrays alive (PaddedFeature): edit
     # and synthesize consume them with zero trim/re-pad dispatches, and
     # their programs stay keyed on bucket sizes alone. Anything else
@@ -124,10 +127,31 @@ def _fused_extract(audio, features, loudness_bands):
     return [PaddedFeature(out, frames) for out in outputs]
 
 
+def _pitch_front_end(features):
+    """(kind, params) for the pitch front-end — resolved OUTSIDE jit.
+
+    The CNN weights are program inputs and the estimator kind a static
+    cache key (see pitch.cnn_posteriorgram): a fused program that baked
+    them as trace-time constants would silently serve stale weights
+    after a checkpoint/config change at the same audio shape.
+    """
+    from . import pitch as pitch_module
+
+    if not ('pitch' in features or 'periodicity' in features):
+        return 'dsp', {}
+    if promonet_tpu.PITCH_ESTIMATOR == 'cnn':
+        return 'cnn', pitch_module.PitchCNN.instance().params
+    return 'dsp', {}
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=('features', 'bands', 'decoder', 'interp_at'))
-def _fused_jit(audio, ppg_params, features, bands, decoder, interp_at):
+    static_argnames=(
+        'features', 'bands', 'decoder', 'interp_at', 'pitch_kind'))
+def _fused_jit(
+    audio, ppg_params, pitch_params, features, bands, decoder, interp_at,
+    pitch_kind='dsp'
+):
     """All jittable extractors as one XLA program"""
     from . import loudness as loudness_module
     from . import pitch as pitch_module
@@ -141,10 +165,12 @@ def _fused_jit(audio, ppg_params, features, bands, decoder, interp_at):
     if 'pitch' in features or 'periodicity' in features:
         pitch, periodicity = pitch_module._from_audio_jit(
             audio,
+            pitch_params,
             promonet_tpu.SAMPLE_RATE,
             promonet_tpu.HOPSIZE,
             decoder,
-            interp_at)
+            interp_at,
+            pitch_kind)
         out['pitch'] = pitch
         out['periodicity'] = periodicity
 

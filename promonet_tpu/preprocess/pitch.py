@@ -162,21 +162,35 @@ class PitchCNN:
 
     def posteriorgram(self, audio, sample_rate, hopsize):
         """Per-frame bin scores, same layout as the NCC front-end"""
-        samples = audio[0]
-        num_frames = samples.shape[-1] // hopsize
-        centers = (np.arange(num_frames) + 0.5) * hopsize
-        starts = np.round(centers - self.FRAME_SIZE / 2).astype(np.int64)
-        pad_left = max(0, -int(starts.min()))
-        pad_right = max(
-            0, int(starts.max()) + self.FRAME_SIZE - samples.shape[-1])
-        padded = jnp.pad(samples, (pad_left, pad_right))
-        idx = (starts + pad_left)[:, None] + np.arange(self.FRAME_SIZE)[None]
-        frames = padded[idx]
-        # Per-frame normalization (penn-style)
-        frames = frames - frames.mean(axis=-1, keepdims=True)
-        frames = frames / jnp.maximum(
-            frames.std(axis=-1, keepdims=True), 1e-6)
-        return self.module.apply(self.params, frames)
+        return cnn_posteriorgram(self.params, audio, sample_rate, hopsize)
+
+
+def cnn_posteriorgram(params, audio, sample_rate, hopsize):
+    """Per-frame CNN bin logits with params passed EXPLICITLY.
+
+    Must be a function of `params`, not of a cached instance: a jitted
+    caller that closed over `PitchCNN.instance().params` would bake the
+    weights into the compiled program as constants, and a same-shape
+    call after the checkpoint changes (training writes a new one;
+    test suites swap ASSETS_DIR) would silently reuse the stale weights
+    (round-5 bug: order-dependent 2100-cent pitch errors).
+    """
+    samples = audio[0]
+    num_frames = samples.shape[-1] // hopsize
+    frame_size = PitchCNN.FRAME_SIZE
+    centers = (np.arange(num_frames) + 0.5) * hopsize
+    starts = np.round(centers - frame_size / 2).astype(np.int64)
+    pad_left = max(0, -int(starts.min()))
+    pad_right = max(
+        0, int(starts.max()) + frame_size - samples.shape[-1])
+    padded = jnp.pad(samples, (pad_left, pad_right))
+    idx = (starts + pad_left)[:, None] + np.arange(frame_size)[None]
+    frames = padded[idx]
+    # Per-frame normalization (penn-style)
+    frames = frames - frames.mean(axis=-1, keepdims=True)
+    frames = frames / jnp.maximum(
+        frames.std(axis=-1, keepdims=True), 1e-6)
+    return PitchCNN.Model().apply(params, frames)
 
 
 def _tone_frames(rng, count, frame_size, hopsize):
@@ -452,18 +466,18 @@ def train(
     return median_cents, float(best_score)
 
 
-def _front_end(audio, sample_rate, hopsize):
-    """Select the configured posteriorgram front-end
+def _front_end(audio, sample_rate, hopsize, kind, cnn_params=None):
+    """Posteriorgram front-end selected by EXPLICIT kind.
 
-    Returns (scores, kind): NCC correlations in [-1, 1] for 'dsp',
-    classifier logits for 'cnn' — _decode normalizes each to a proper
-    observation distribution.
+    Returns scores: NCC correlations in [-1, 1] for 'dsp', classifier
+    logits for 'cnn' — _decode normalizes each to a proper observation
+    distribution. `kind` and `cnn_params` are arguments (not config /
+    instance reads) because this runs under jit: the program cache must
+    key on the estimator and take the weights as inputs.
     """
-    if promonet_tpu.PITCH_ESTIMATOR == 'cnn':
-        scores = PitchCNN.instance().posteriorgram(
-            audio, sample_rate, hopsize)
-        return scores, 'cnn'
-    return posteriorgram(audio, sample_rate, hopsize), 'dsp'
+    if kind == 'cnn':
+        return cnn_posteriorgram(cnn_params, audio, sample_rate, hopsize)
+    return posteriorgram(audio, sample_rate, hopsize)
 
 
 def _decode(scores, decoder, kind='dsp'):
@@ -512,10 +526,17 @@ def _decode(scores, decoder, kind='dsp'):
 
 @functools.partial(
     jax.jit,
-    static_argnames=('sample_rate', 'hopsize', 'decoder', 'interp_at'))
-def _from_audio_jit(audio, sample_rate, hopsize, decoder, interp_at):
-    """Full device-resident pitch extraction: front-end → decode → interp"""
-    scores, kind = _front_end(audio, sample_rate, hopsize)
+    static_argnames=('sample_rate', 'hopsize', 'decoder', 'interp_at', 'kind'))
+def _from_audio_jit(
+        audio, cnn_params, sample_rate, hopsize, decoder, interp_at,
+        kind='dsp'):
+    """Full device-resident pitch extraction: front-end → decode → interp
+
+    `kind` is a static cache key and `cnn_params` a program INPUT — see
+    cnn_posteriorgram for why neither may be read from config/instance
+    state inside the trace.
+    """
+    scores = _front_end(audio, sample_rate, hopsize, kind, cnn_params)
     pitch, periodicity = _decode(scores, decoder, kind)
     if interp_at is not None:
         # Interpolate pitch through unvoiced regions in log space
@@ -552,17 +573,19 @@ def from_audio(
     if decoder is None:
         decoder = (
             'viterbi' if promonet_tpu.VITERBI_DECODE_PITCH else 'argmax')
+    kind = 'cnn' if promonet_tpu.PITCH_ESTIMATOR == 'cnn' else 'dsp'
     if interp_unvoiced_at == 'default':
         interp_unvoiced_at = promonet_tpu.VOICING_THRESHOLD
-        if promonet_tpu.PITCH_ESTIMATOR == 'cnn':
+        if kind == 'cnn':
             # CNN periodicity is posterior mass, not correlation; use
             # the threshold calibrated on held-out data at train time
             calibrated = PitchCNN.instance().voicing_threshold
             if calibrated is not None:
                 interp_unvoiced_at = calibrated
+    cnn_params = PitchCNN.instance().params if kind == 'cnn' else {}
     return _from_audio_jit(
-        jnp.asarray(audio), sample_rate, hopsize, decoder,
-        interp_unvoiced_at)
+        jnp.asarray(audio), cnn_params, sample_rate, hopsize, decoder,
+        interp_unvoiced_at, kind)
 
 
 def from_file(audio_file, **kwargs):

@@ -27,7 +27,8 @@ def from_features(
     spectral_balance_ratio=1.,
     loudness_ratio=1.,
     checkpoint=None,
-    gpu=None
+    gpu=None,
+    output_dtype='float32'
 ):
     """Perform speech synthesis
 
@@ -41,6 +42,9 @@ def from_features(
         loudness_ratio: loudness ratio
         checkpoint: generator checkpoint directory
         gpu: unused (API parity)
+        output_dtype: 'float32', or 'int16' for PCM16 wire format —
+            halves the device→host transfer; lossless relative to the
+            16-bit PCM that reaches disk
 
     Returns
         audio: (1, T * HOPSIZE)
@@ -55,9 +59,10 @@ def from_features(
             speaker,
             spectral_balance_ratio,
             loudness_ratio,
-            checkpoint)
+            checkpoint,
+            output_dtype)
 
-    return generate(
+    audio = generate(
         jnp.asarray(loudness),
         jnp.asarray(pitch).reshape(-1),
         jnp.asarray(periodicity).reshape(-1),
@@ -66,6 +71,10 @@ def from_features(
         spectral_balance_ratio,
         loudness_ratio,
         checkpoint)
+    if output_dtype == 'int16':  # wire-format parity with the fast path
+        audio = np.clip(
+            np.round(audio * 32767.), -32768., 32767.).astype(np.int16)
+    return audio
 
 
 def from_file(
@@ -261,7 +270,8 @@ def from_edited_audio(
     speaker=0,
     spectral_balance_ratio=1.,
     loudness_ratio=1.,
-    checkpoint=None
+    checkpoint=None,
+    output_dtype='float32'
 ):
     """Audio in → edited audio out as ONE device dispatch
 
@@ -314,8 +324,11 @@ def from_edited_audio(
     out_frames = int(round(frames / ratio))
     bucket_out = bucket_frames(out_frames)
 
-    # Pad audio to the input bucket (host numpy; single upload)
-    padded = np.zeros((audio.shape[0], bucket_in * hopsize), np.float32)
+    # Pad audio to the input bucket (host numpy; single upload).
+    # int16 input ships PCM16 over the wire — half the upload bytes,
+    # bit-exact with 16-bit sources — and scales to float IN-PROGRAM.
+    wire_dtype = np.int16 if audio.dtype == np.int16 else np.float32
+    padded = np.zeros((audio.shape[0], bucket_in * hopsize), wire_dtype)
     padded[:, :audio.shape[-1]] = audio[:, :bucket_in * hopsize]
 
     # Per-output-frame step in input frames (traced: length-agnostic)
@@ -329,13 +342,18 @@ def from_edited_audio(
         if pitch_shift_cents is not None else 1.)
     scale_db = loudness_scale_db if loudness_scale_db is not None else 0.
 
-    # Materialize the PPG model OUTSIDE the trace (its params cache must
-    # hold real arrays, not tracers)
+    # Materialize the extractor models OUTSIDE the trace (their params
+    # caches must hold real arrays, not tracers; weights enter the
+    # program as inputs, never as baked constants)
+    from ..preprocess.core import _pitch_front_end
     ppg_params = promonet_tpu.preprocess.ppg._model()[1]
+    pitch_kind, pitch_params = _pitch_front_end(('pitch',))
 
     audio_out = _fused_edit_jit(
         params,
         ppg_params,
+        pitch_params,
+        pitch_kind,
         jnp.asarray(padded),
         jnp.asarray(step, jnp.float32),
         jnp.asarray(shift_ratio, jnp.float32),
@@ -346,16 +364,21 @@ def from_edited_audio(
         np.asarray([loudness_ratio], np.float32),
         bucket_out,
         pitch_shift_cents is not None,
-        _model_key(checkpoint))
+        _model_key(checkpoint),
+        output_dtype)
     return np.asarray(audio_out)[0, :, :out_frames * hopsize]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=('bucket_out', 'clip_pitch', 'model_key'))
+    static_argnames=(
+        'bucket_out', 'clip_pitch', 'model_key', 'pitch_kind',
+        'output_dtype'))
 def _fused_edit_jit(
     params,
     ppg_params,
+    pitch_params,
+    pitch_kind,
     audio,
     step,
     shift_ratio,
@@ -365,23 +388,28 @@ def _fused_edit_jit(
     loudness_ratio_arr,
     bucket_out,
     clip_pitch,
-    model_key
+    model_key,
+    output_dtype='float32'
 ):
     """extract → edit → synthesize, fused"""
     from ..ops import grid as grid_ops
     from ..preprocess import core as preprocess_core
 
     model = _cached_model_by_key(model_key)
+    if audio.dtype == jnp.int16:  # PCM16 wire input
+        audio = audio.astype(jnp.float32) / 32768.
 
     features = ('loudness', 'pitch', 'periodicity', 'ppg')
     loudness, pitch, periodicity, ppg = preprocess_core._fused_jit(
         audio,
         ppg_params,
+        pitch_params,
         features,
         None,
         'viterbi' if promonet_tpu.VITERBI_DECODE_PITCH else 'argmax',
         None if promonet_tpu.VITERBI_DECODE_PITCH
-        else promonet_tpu.VOICING_THRESHOLD)
+        else promonet_tpu.VOICING_THRESHOLD,
+        pitch_kind)
 
     # Edit on the device: constant-rate grid from the traced step
     grid = jnp.arange(bucket_out, dtype=jnp.float32) * step
@@ -393,15 +421,17 @@ def _fused_edit_jit(
     if clip_pitch:
         pitch = jnp.clip(pitch, promonet_tpu.FMIN, promonet_tpu.FMAX)
 
-    return model.apply(
-        params,
-        loudness[None] if loudness.ndim == 2 else loudness,
-        pitch,
-        periodicity,
-        ppg[None] if ppg.ndim == 2 else ppg,
-        speaker,
-        spectral_balance_ratio,
-        loudness_ratio_arr)
+    return _as_wire(
+        model.apply(
+            params,
+            loudness[None] if loudness.ndim == 2 else loudness,
+            pitch,
+            periodicity,
+            ppg[None] if ppg.ndim == 2 else ppg,
+            speaker,
+            spectral_balance_ratio,
+            loudness_ratio_arr),
+        output_dtype)
 
 
 def _cached_model_by_key(key):
@@ -580,10 +610,26 @@ def _cached_model(checkpoint):
     return _cached_model.cache[key]
 
 
-@functools.partial(jax.jit, static_argnames=('model_key',))
+def _as_wire(audio, output_dtype):
+    """Convert device audio to the requested wire format IN-PROGRAM.
+
+    'int16' halves the device→host transfer (the dominant cost of a
+    synthesis call on a tunneled attachment) and is lossless relative
+    to what reaches disk anyway — sources and outputs are 16-bit PCM
+    (reference cache convention, promonet/data/download/core.py:1-21).
+    """
+    if output_dtype == 'int16':
+        return jnp.clip(
+            jnp.round(audio * 32767.), -32768., 32767.).astype(jnp.int16)
+    return audio
+
+
+@functools.partial(
+    jax.jit, static_argnames=('model_key', 'output_dtype'))
 def _apply_padded_jit(
     params, loudness, pitch, periodicity, ppg, speaker,
-    spectral_balance_ratio, loudness_ratio, model_key
+    spectral_balance_ratio, loudness_ratio, model_key,
+    output_dtype='float32'
 ):
     """Generator forward over BUCKET-shaped features: batching reshapes
     and NaN scrubbing fuse into the one dispatch (the exact-length path
@@ -593,9 +639,11 @@ def _apply_padded_jit(
     periodicity = periodicity.reshape(1, -1)
     loudness = loudness[None] if loudness.ndim == 2 else loudness
     ppg = ppg[None] if ppg.ndim == 2 else ppg
-    return model.apply(
-        params, loudness, pitch, periodicity, ppg, speaker,
-        spectral_balance_ratio, loudness_ratio)
+    return _as_wire(
+        model.apply(
+            params, loudness, pitch, periodicity, ppg, speaker,
+            spectral_balance_ratio, loudness_ratio),
+        output_dtype)
 
 
 def generate_padded(
@@ -604,7 +652,8 @@ def generate_padded(
     speaker=0,
     spectral_balance_ratio=1.,
     loudness_ratio=1.,
-    checkpoint=None
+    checkpoint=None,
+    output_dtype='float32'
 ):
     """Generate speech from bucket-resident features (no re-padding)"""
     _, params, _ = _cached_model(checkpoint)
@@ -621,7 +670,8 @@ def generate_padded(
                 np.int32 if not promonet_tpu.ZERO_SHOT else np.float32),
             np.asarray([spectral_balance_ratio], np.float32),
             np.asarray([loudness_ratio], np.float32),
-            _model_key(checkpoint))
+            _model_key(checkpoint),
+            output_dtype)
         return np.asarray(audio)[0, :, :frames * promonet_tpu.HOPSIZE]
 
 

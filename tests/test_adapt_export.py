@@ -14,11 +14,16 @@ pytestmark = _pytest.mark.slow
 def small(monkeypatch, tmp_path):
     monkeypatch.setattr(promonet_tpu, 'HIFIGAN_UPSAMPLE_INITIAL_SIZE', 64)
     monkeypatch.setattr(promonet_tpu, 'MULTI_PERIOD_DISCRIMINATOR', False)
-    # MSD-only adversary (compile cost; adaptation mechanics don't
-    # depend on the discriminator set — see tests/test_train.py)
+    # Adversary-off (compile cost; adaptation mechanics don't depend
+    # on the adversary training — see tests/test_train.py)
+    monkeypatch.setattr(promonet_tpu, 'DISCRIMINATOR_START_STEP', 10**9)
     monkeypatch.setattr(
-        promonet_tpu, 'COMPLEX_MULTIBAND_DISCRIMINATOR', False)
-    monkeypatch.setattr(promonet_tpu, 'MULTI_SCALE_DISCRIMINATOR', True)
+        promonet_tpu, 'ADVERSARIAL_LOSS_START_STEP', 10**9)
+    # Skip the in-train step-0 evaluation (extractor compiles dominate;
+    # the eval path is covered by tests/test_pipeline.py)
+    from promonet_tpu.train import core as train_core
+    monkeypatch.setattr(
+        train_core, 'evaluate', lambda *args, **kwargs: None)
     monkeypatch.setattr(promonet_tpu, 'CACHE_DIR', tmp_path / 'cache')
     monkeypatch.setattr(promonet_tpu, 'ASSETS_DIR', tmp_path / 'assets')
     monkeypatch.setattr(

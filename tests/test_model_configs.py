@@ -29,12 +29,13 @@ def _shrink(monkeypatch):
     monkeypatch.setattr(promonet_tpu, 'VOCOS_POINTWISE_CHANNELS', 128)
     monkeypatch.setattr(promonet_tpu, 'VOCOS_LAYERS', 2)
     monkeypatch.setattr(promonet_tpu, 'MULTI_PERIOD_DISCRIMINATOR', False)
-    # MSD-only adversary: these tests cover the GENERATOR families; the
-    # CMB's five banded STFTs dominate the one-step CPU compile and are
-    # covered by test_train_step_data_parallel / test_models
+    # Adversary-off: these tests cover the GENERATOR families, and the
+    # discriminator fwd/bwd dominates the one-step CPU compile. The
+    # full adversarial step stays covered by tests/test_train.py and
+    # tests/test_models.py
+    monkeypatch.setattr(promonet_tpu, 'DISCRIMINATOR_START_STEP', 10**9)
     monkeypatch.setattr(
-        promonet_tpu, 'COMPLEX_MULTIBAND_DISCRIMINATOR', False)
-    monkeypatch.setattr(promonet_tpu, 'MULTI_SCALE_DISCRIMINATOR', True)
+        promonet_tpu, 'ADVERSARIAL_LOSS_START_STEP', 10**9)
 
 
 def _step(batch_size=2):

@@ -341,3 +341,22 @@ def test_subpixel_transposed_conv_matches_torch():
         conv.bias.copy_(torch.tensor(bias))
         theirs = conv(torch.tensor(x).permute(0, 2, 1)).permute(0, 2, 1)
     np.testing.assert_allclose(ours, theirs.numpy(), atol=2e-5)
+
+
+def test_bucket_ladder_override():
+    """Scoped coarse ladder replaces the dense default and restores it"""
+    # promonet_tpu.data re-exports the collate() FUNCTION under the
+    # module's name; import the module itself for its helpers
+    import importlib
+    collate = importlib.import_module('promonet_tpu.data.collate')
+
+    default = collate.bucket_frames(5)
+    assert default in promonet_tpu.INFERENCE_FRAME_BUCKETS
+    with collate.bucket_ladder([96, 192]):
+        assert collate.bucket_frames(5) == 96
+        assert collate.bucket_frames(97) == 192
+        assert collate.bucket_frames(300) == 300  # beyond the ladder
+        with collate.bucket_ladder([64]):
+            assert collate.bucket_frames(5) == 64
+        assert collate.bucket_frames(5) == 96
+    assert collate.bucket_frames(5) == default

@@ -82,6 +82,15 @@ def test_padded_chain_parity(audio):
     assert out_fast.shape == out_exact.shape
     margin = receptive_field_frames() * promonet_tpu.HOPSIZE
     assert out_fast.shape[-1] > 2 * margin, 'test clip too short for margin'
+
+    # PCM16 wire format: same program modulo the output quantization
+    out_pcm = promonet_tpu.synthesize.from_features(
+        *edited, speaker=0, output_dtype='int16')
+    assert np.asarray(out_pcm).dtype == np.int16
+    np.testing.assert_allclose(
+        np.asarray(out_pcm).astype(np.float32) / 32767.,
+        np.clip(np.asarray(out_fast), -1., 1.),
+        atol=1.5 / 32767.)
     np.testing.assert_allclose(
         np.asarray(out_fast)[..., :-margin],
         np.asarray(out_exact)[..., :-margin],

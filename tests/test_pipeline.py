@@ -115,15 +115,17 @@ def test_partition(corpus):
 
 
 def test_pitch_distribution(corpus, monkeypatch):
-    """Variable-bin boundaries from cached voiced pitch"""
-    if hasattr(promonet_tpu.load.pitch_distribution, 'distribution'):
-        del promonet_tpu.load.pitch_distribution.distribution
+    """Variable-bin boundaries from cached voiced pitch
+
+    The cache is keyed on the resolved stats file, so the temp-corpus
+    distribution computed here cannot leak into tests running against
+    the repo's real assets (round-5 fix in load.pitch_distribution).
+    """
     distribution = promonet_tpu.load.pitch_distribution('synthetic')
     assert distribution.shape == (promonet_tpu.PITCH_BINS,)
     assert (np.diff(distribution) >= 0).all()
     assert distribution.min() >= promonet_tpu.FMIN
     assert distribution.max() <= promonet_tpu.FMAX
-    del promonet_tpu.load.pitch_distribution.distribution
 
 
 def test_world_baseline(corpus, audio):

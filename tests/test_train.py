@@ -27,16 +27,19 @@ def small_model(monkeypatch):
 
 @pytest.fixture
 def cheap_discriminator(monkeypatch):
-    """MSD-only discriminator for pipeline-mechanics tests.
+    """Adversary-off (generator+mel only) for pipeline-mechanics tests.
 
-    The default CMB (5 bands of 1024-bin STFTs) dominates the CPU
-    compile of the one-step end-to-end tests; checkpoint/resume/data
-    mechanics don't depend on which adversary trains. The full
-    default set stays covered by test_train_step_data_parallel.
+    Discriminator forwards/backwards dominate the CPU compile of the
+    one-step end-to-end tests; checkpoint/resume/data mechanics don't
+    depend on the adversary training (the reference itself gates it
+    behind DISCRIMINATOR_START_STEP). Discriminator STATE is still
+    created and checkpointed; the full adversarial step stays covered
+    by test_train_step_data_parallel and
+    test_resident_multichip_sample_and_step.
     """
+    monkeypatch.setattr(promonet_tpu, 'DISCRIMINATOR_START_STEP', 10**9)
     monkeypatch.setattr(
-        promonet_tpu, 'COMPLEX_MULTIBAND_DISCRIMINATOR', False)
-    monkeypatch.setattr(promonet_tpu, 'MULTI_SCALE_DISCRIMINATOR', True)
+        promonet_tpu, 'ADVERSARIAL_LOSS_START_STEP', 10**9)
     yield
 
 
@@ -163,6 +166,12 @@ def test_train_resident_end_to_end(
 def test_train_end_to_end_synthetic(
         small_model, cheap_discriminator, monkeypatch, tmp_path):
     """Two optimizer steps on a real (synthetic) dataset through train()"""
+    # Mechanics test: skip the in-train step-0 evaluation (its
+    # extractor compiles dominate; the real eval path is covered by
+    # test_train_resident_end_to_end and tests/test_pipeline.py)
+    from promonet_tpu.train import core as train_core
+    monkeypatch.setattr(
+        train_core, 'evaluate', lambda *args, **kwargs: None)
     monkeypatch.setattr(promonet_tpu, 'CACHE_DIR', tmp_path / 'cache')
     monkeypatch.setattr(promonet_tpu, 'ASSETS_DIR', tmp_path / 'assets')
     monkeypatch.setattr(
@@ -188,7 +197,7 @@ def test_train_end_to_end_synthetic(
     assert latest is not None and latest.name == 'generator-00000002'
 
 
-def test_resident_multichip_sample_and_step(small_model, cheap_discriminator, monkeypatch):
+def test_resident_multichip_sample_and_step(small_model, monkeypatch):
     """Stem-sharded resident corpus: per-device sampling + full GAN step
     on the 8-device virtual mesh (VERDICT r2 weak #5)."""
     from promonet_tpu.data import resident
@@ -298,6 +307,13 @@ def test_auto_resume_survives_crash_mid_checkpoint(
     directory with a truncated payload — and verifies resume picks the
     newest READABLE checkpoint and training continues to completion.
     """
+    # Mechanics test: skip the in-train step-0 evaluation (its
+    # extractor compiles dominate; the real eval path is covered by
+    # test_train_resident_end_to_end and tests/test_pipeline.py)
+    from promonet_tpu.train import core as train_core
+    monkeypatch.setattr(
+        train_core, 'evaluate', lambda *args, **kwargs: None)
+
     monkeypatch.setattr(promonet_tpu, 'CACHE_DIR', tmp_path / 'cache')
     monkeypatch.setattr(promonet_tpu, 'ASSETS_DIR', tmp_path / 'assets')
     monkeypatch.setattr(
