@@ -185,19 +185,53 @@ def fused_block(x, weights, biases, dilations, slope):
     return _forward(x, weights, biases, dilations, slope)
 
 
+def lane_pack(x, weights, biases):
+    """Pack g = 128/C batch elements into the lane dimension.
+
+    Narrow stages (C in {32, 64}) waste 128-lane VMEM tiles, and the
+    fallback XLA-conv lowering at serving batch sizes triggers the
+    space-to-batch rewrite (measured round 5, batch 4 at 10 s audio:
+    40% of generator device time in layout copies and another ~25% in
+    unfused elementwise ops on (4, 220672, 32) activations). Packing
+    (B, T, C) as (B/g, T, g*C) with BLOCK-DIAGONAL weights runs the
+    same fused kernel at full lane width: each batch element's channels
+    occupy a disjoint lane block, so every per-tap matmul computes g
+    independent C×C contractions and batch elements never mix.
+
+    Returns (x, weights, biases, unpack) with lane width g*C == 128.
+    """
+    batch, frames, channels = x.shape
+    g = 128 // channels
+    s, k = weights.shape[0], weights.shape[1]
+    xp = x.reshape(batch // g, g, frames, channels)
+    xp = xp.transpose(0, 2, 1, 3).reshape(batch // g, frames, g * channels)
+    eye = jnp.eye(g, dtype=weights.dtype)
+    wp = jnp.einsum('ab,skic->skaibc', eye, weights).reshape(
+        s, k, g * channels, g * channels)
+    bp = jnp.tile(biases, (1, g))
+
+    def unpack(out):
+        out = out.reshape(batch // g, frames, g, channels)
+        return out.transpose(0, 2, 1, 3).reshape(batch, frames, channels)
+
+    return xp, wp, bp, unpack
+
+
 def _forward(x, weights, biases, dilations, slope):
     import jax as _jax
-    frames = x.shape[1]
-    tile = default_tile(x.shape[2])
-    if (
-        _jax.default_backend() != 'tpu'
-        or frames <= tile
-        or x.shape[2] % 128
-    ):
-        # Non-TPU backends (tests, export), single-tile sizes, and
-        # narrow widths use the plain chain — it is the semantics
-        # reference, already one XLA fusion at small sizes, and Mosaic
-        # requires 128-lane alignment for the HBM->VMEM tile DMA
+    batch, frames, channels = x.shape
+    tile = default_tile(channels)
+    if _jax.default_backend() != 'tpu' or frames <= tile:
+        # Non-TPU backends (tests, export) and single-tile sizes use
+        # the plain chain — it is the semantics reference, already one
+        # XLA fusion at small sizes
+        return reference_block(
+            x, weights, biases, dilations, slope, x.dtype)
+    if channels % 128:
+        # Mosaic requires 128-lane alignment for the HBM->VMEM tile DMA
+        if 128 % channels == 0 and batch % (128 // channels) == 0:
+            xp, wp, bp, unpack = lane_pack(x, weights, biases)
+            return unpack(_pallas_forward(xp, wp, bp, dilations, slope))
         return reference_block(
             x, weights, biases, dilations, slope, x.dtype)
     return _pallas_forward(x, weights, biases, dilations, slope)
