@@ -38,11 +38,20 @@ if 'PROMONET_TPU_CONFIG' not in os.environ and _RUN_CONFIG.exists():
 
 # Persistent compilation cache: warmup compiles dominate bench wall
 # time; caching them keeps the measured (post-warmup) runs unaffected
-# while making the whole script re-runnable quickly
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
-os.environ.setdefault(
-    'JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '-1')
-os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0')
+# while making the whole script re-runnable quickly. JAX_* env vars are
+# DEAD in this environment — the TPU plugin's site module imports jax at
+# interpreter startup, freezing config defaults before any script-level
+# os.environ assignment runs (measured round 5: env-set cache dir reads
+# back as None). promonet_tpu/__init__.py configures the shared cache
+# dir via jax.config.update, which works; subprocess extras import the
+# package and inherit it. The only knob to adjust is the minimum entry
+# time, lowered here so even sub-2-second bench programs persist.
+_CACHE_MIN_COMPILE_SECS = 0.0
+
+import jax as _jax
+
+_jax.config.update(
+    'jax_persistent_cache_min_compile_time_secs', _CACHE_MIN_COMPILE_SECS)
 
 import numpy as np
 
@@ -207,8 +216,8 @@ def mfu_benchmark(frames, batch_size=1, pallas=None, flops=None):
     serving-throughput headroom. `pallas` overrides the fused-resblock
     toggle to isolate the Pallas kernel's contribution. Pass `flops`
     (per forward at this batch size) to skip the cost-analysis compile —
-    the persistent compile cache does not function on the tunneled
-    attachment, so every avoided compile is ~30-60 s of bench wall.
+    even with the persistent cache warm, each avoided lower+compile
+    round-trip saves seconds of bench wall.
     """
     import jax
     import promonet_tpu
